@@ -1,0 +1,46 @@
+"""Feature Pyramid Network neck.
+
+Behavioral spec: reference mmdet/models/necks/fpn.py:10-199 with the HTD
+config (in_channels [256,512,1024,2048] -> 256, num_outs=5, no extra convs):
+lateral 1x1 convs, top-down nearest-upsample adds, 3x3 output convs, and an
+extra P6 = max_pool(P5, 1, stride 2).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from htd_tpu.models.layers import conv, max_pool, resize_nearest
+
+Array = jnp.ndarray
+
+
+class FPN(nn.Module):
+    out_channels: int = 256
+    num_outs: int = 5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs: Sequence[Array]) -> Tuple[Array, ...]:
+        n = len(inputs)
+        laterals = [
+            conv(self.out_channels, 1, 1, dtype=self.dtype, name=f"lateral_{i}")(
+                inputs[i]
+            )
+            for i in range(n)
+        ]
+        for i in range(n - 1, 0, -1):
+            target = laterals[i - 1].shape[-3:-1]
+            laterals[i - 1] = laterals[i - 1] + resize_nearest(laterals[i], target)
+        outs = [
+            conv(self.out_channels, 3, 1, dtype=self.dtype, name=f"fpn_{i}")(
+                laterals[i]
+            )
+            for i in range(n)
+        ]
+        for _ in range(self.num_outs - n):
+            outs.append(max_pool(outs[-1], 1, 2, 0))
+        return tuple(outs)

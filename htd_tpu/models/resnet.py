@@ -1,0 +1,168 @@
+"""ResNet / ResNeXt backbone (NHWC, frozen-BN), torchvision-compatible.
+
+Behavioral spec: reference mmdet/models/backbones/resnet.py (pytorch-style
+bottleneck: stride on the 3x3 conv, lines 151-156; frozen_stages /
+norm_eval semantics at 573-652; DCN on conv2 of stages with
+`stage_with_dcn`, lines 171-195) and resnext.py (grouped conv2 with
+width = planes * base_width * groups / 64).
+
+Param layout intentionally mirrors torch state-dict naming
+(conv1/bn1/layer{1-4}/{i}/conv{1-3}, bn{1-3}, downsample) so the
+checkpoint converter is a pure name map + NCHW->HWIO transpose.
+Freezing (`frozen_stages`) is applied by the optimizer mask, not here.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from htd_tpu.models.layers import FrozenBatchNorm, conv, max_pool
+
+Array = jnp.ndarray
+
+ARCH_BLOCKS = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3), 152: (3, 8, 36, 3)}
+
+
+class DeformConv2d(nn.Module):
+    """DCNv1 (DeformConv2dPack): 3x3 deformable conv with a learned offset.
+
+    Offset conv (`conv_offset`) is zero-initialized (mmcv behavior), so an
+    untrained DCN starts as a plain conv. Sampling is gather-based bilinear
+    (see htd_tpu.ops.dcn).
+    """
+
+    features: int
+    stride: int = 1
+    deform_groups: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        from htd_tpu.ops.dcn import deform_conv2d  # local import: optional path
+
+        offsets = nn.Conv(
+            features=self.deform_groups * 18,
+            kernel_size=(3, 3),
+            strides=(self.stride, self.stride),
+            padding=((1, 1), (1, 1)),
+            use_bias=True,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="conv_offset",
+        )(x)
+        weight = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(1.0, "fan_out", "normal"),
+            (3, 3, x.shape[-1], self.features),
+            jnp.float32,
+        )
+        return deform_conv2d(
+            x,
+            offsets,
+            weight.astype(x.dtype),
+            stride=self.stride,
+            deform_groups=self.deform_groups,
+        )
+
+
+class Bottleneck(nn.Module):
+    """Pytorch-style bottleneck (stride on conv2)."""
+
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    groups: int = 1
+    base_width: int = 4
+    with_dcn: bool = False
+    deform_groups: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        expansion = 4
+        if self.groups == 1:
+            width = self.planes
+        else:
+            width = (self.planes * self.base_width * self.groups) // 64
+
+        identity = x
+        out = conv(width, 1, 1, use_bias=False, dtype=self.dtype, name="conv1")(x)
+        out = FrozenBatchNorm(width, dtype=self.dtype, name="bn1")(out)
+        out = nn.relu(out)
+
+        if self.with_dcn:
+            out = DeformConv2d(
+                width,
+                stride=self.stride,
+                deform_groups=self.deform_groups,
+                dtype=self.dtype,
+                name="conv2",
+            )(out)
+        else:
+            out = conv(
+                width, 3, self.stride, groups=self.groups,
+                use_bias=False, dtype=self.dtype, name="conv2",
+            )(out)
+        out = FrozenBatchNorm(width, dtype=self.dtype, name="bn2")(out)
+        out = nn.relu(out)
+
+        out = conv(
+            self.planes * expansion, 1, 1, use_bias=False, dtype=self.dtype, name="conv3"
+        )(out)
+        out = FrozenBatchNorm(self.planes * expansion, dtype=self.dtype, name="bn3")(out)
+
+        if self.downsample:
+            identity = conv(
+                self.planes * expansion, 1, self.stride,
+                use_bias=False, dtype=self.dtype, name="downsample_conv",
+            )(x)
+            identity = FrozenBatchNorm(
+                self.planes * expansion, dtype=self.dtype, name="downsample_bn"
+            )(identity)
+
+        return nn.relu(out + identity)
+
+
+class ResNet(nn.Module):
+    """ResNet-50/101/152 (or ResNeXt when groups > 1). Returns C2-C5 (NHWC)."""
+
+    depth: int = 50
+    groups: int = 1
+    base_width: int = 4
+    out_indices: Tuple[int, ...] = (0, 1, 2, 3)
+    stage_with_dcn: Tuple[bool, ...] = (False, False, False, False)
+    deform_groups: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Tuple[Array, ...]:
+        blocks = ARCH_BLOCKS[self.depth]
+        x = conv(64, 7, 2, use_bias=False, dtype=self.dtype, name="conv1")(x)
+        x = FrozenBatchNorm(64, dtype=self.dtype, name="bn1")(x)
+        x = nn.relu(x)
+        x = max_pool(x, 3, 2, 1)
+
+        outs = []
+        planes = 64
+        for stage in range(4):
+            stride = 1 if stage == 0 else 2
+            for i in range(blocks[stage]):
+                x = Bottleneck(
+                    planes=planes,
+                    stride=stride if i == 0 else 1,
+                    downsample=(i == 0),
+                    groups=self.groups,
+                    base_width=self.base_width,
+                    with_dcn=self.stage_with_dcn[stage],
+                    deform_groups=self.deform_groups,
+                    dtype=self.dtype,
+                    name=f"layer{stage + 1}_{i}",
+                )(x)
+            if stage in self.out_indices:
+                outs.append(x)
+            planes *= 2
+        return tuple(outs)

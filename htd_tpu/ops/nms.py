@@ -1,0 +1,214 @@
+"""Static-shape NMS family for TPU.
+
+Behavioral spec (greedy hard-NMS, score-descending, suppress IoU > thr):
+mmcv-full 1.2.1 `nms` / `batched_nms` / `soft_nms` as used by the reference
+at rpn_head.py:167 (level-offset batched NMS), bbox_nms.py:7-71
+(multiclass NMS) and the R-101 configs' soft-NMS test cfg.
+
+Everything here is jittable with static output capacities. "Absent" slots
+are encoded as score = -inf; callers carry validity masks alongside.
+
+The implementation is an iterative argmax loop (exactly equivalent to
+sorted greedy NMS, including tie-breaking by first index, which matches
+torch's stable descending sort). A Pallas blocked-bitmask kernel can later
+replace the inner loop; the public contract stays the same.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from htd_tpu.ops.boxes import bbox_overlaps
+
+Array = jnp.ndarray
+
+NEG_INF = jnp.float32(-jnp.inf)
+
+
+def _pairwise_iou_single(box: Array, boxes: Array, eps: float = 1e-6) -> Array:
+    """IoU of one (4,) box against (N, 4) boxes."""
+    lt = jnp.maximum(box[:2], boxes[:, :2])
+    rb = jnp.minimum(box[2:], boxes[:, 2:])
+    wh = jnp.clip(rb - lt, 0, None)
+    inter = wh[:, 0] * wh[:, 1]
+    area1 = (box[2] - box[0]) * (box[3] - box[1])
+    area2 = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+    union = jnp.maximum(area1 + area2 - inter, eps)
+    return inter / union
+
+
+def nms(
+    boxes: Array,
+    scores: Array,
+    iou_threshold: float,
+    max_out: int,
+) -> Tuple[Array, Array, Array]:
+    """Greedy hard NMS over padded inputs.
+
+    Args:
+      boxes: (N, 4). scores: (N,) with -inf marking invalid/padded entries.
+      iou_threshold: suppress j when IoU(i, j) > thr for an earlier-kept i.
+      max_out: static output capacity.
+
+    Returns:
+      keep_idx: (max_out,) int32 indices into the input (0 where invalid),
+      keep_score: (max_out,) scores of kept boxes (-inf where invalid),
+      keep_valid: (max_out,) bool.
+    """
+    n = boxes.shape[0]
+    scores = scores.astype(jnp.float32)
+
+    def body(i, state):
+        live, keep_idx, keep_score = state
+        j = jnp.argmax(live)
+        s = live[j]
+        valid = s > NEG_INF
+        iou = _pairwise_iou_single(boxes[j], boxes)
+        suppress = iou > iou_threshold
+        live = jnp.where(valid & suppress, NEG_INF, live)
+        live = live.at[j].set(NEG_INF)
+        keep_idx = keep_idx.at[i].set(jnp.where(valid, j, 0).astype(jnp.int32))
+        keep_score = keep_score.at[i].set(s)
+        return live, keep_idx, keep_score
+
+    live0 = scores
+    keep_idx0 = jnp.zeros((max_out,), jnp.int32)
+    keep_score0 = jnp.full((max_out,), NEG_INF, jnp.float32)
+    _, keep_idx, keep_score = jax.lax.fori_loop(
+        0, min(max_out, n), body, (live0, keep_idx0, keep_score0)
+    )
+    return keep_idx, keep_score, keep_score > NEG_INF
+
+
+def batched_nms(
+    boxes: Array,
+    scores: Array,
+    ids: Array,
+    iou_threshold: float,
+    max_out: int,
+) -> Tuple[Array, Array, Array]:
+    """Category/level-aware NMS via the coordinate-offset trick.
+
+    `ids` (N,) int: boxes with different ids never suppress each other.
+    Same return contract as :func:`nms`.
+    """
+    max_coord = jnp.max(jnp.where(jnp.isfinite(scores)[:, None], boxes, 0.0))
+    offsets = ids.astype(boxes.dtype)[:, None] * (max_coord + 1.0)
+    return nms(boxes + offsets, scores, iou_threshold, max_out)
+
+
+def soft_nms(
+    boxes: Array,
+    scores: Array,
+    iou_threshold: float = 0.3,
+    sigma: float = 0.5,
+    min_score: float = 1e-3,
+    method: str = "linear",
+    max_out: int = 100,
+) -> Tuple[Array, Array, Array]:
+    """Soft-NMS (linear / gaussian decay), mmcv-semantics.
+
+    Each round picks the max-score live box, emits it, then decays the
+    scores of overlapping live boxes; boxes decayed below `min_score`
+    become dead. Same return contract as :func:`nms`.
+    """
+    assert method in ("linear", "gaussian", "naive"), method
+    scores = scores.astype(jnp.float32)
+
+    def body(i, state):
+        live, keep_idx, keep_score = state
+        j = jnp.argmax(live)
+        s = live[j]
+        valid = s > NEG_INF
+        iou = _pairwise_iou_single(boxes[j], boxes)
+        if method == "linear":
+            decay = jnp.where(iou > iou_threshold, 1.0 - iou, 1.0)
+        elif method == "gaussian":
+            decay = jnp.exp(-(iou * iou) / sigma)
+        else:  # naive == hard nms
+            decay = jnp.where(iou > iou_threshold, 0.0, 1.0)
+        new = live * decay
+        new = jnp.where(new < min_score, NEG_INF, new)
+        live = jnp.where(valid, new, live)
+        live = live.at[j].set(NEG_INF)
+        keep_idx = keep_idx.at[i].set(jnp.where(valid, j, 0).astype(jnp.int32))
+        keep_score = keep_score.at[i].set(s)
+        return live, keep_idx, keep_score
+
+    live0 = jnp.where(scores < min_score, NEG_INF, scores)
+    keep_idx0 = jnp.zeros((max_out,), jnp.int32)
+    keep_score0 = jnp.full((max_out,), NEG_INF, jnp.float32)
+    _, keep_idx, keep_score = jax.lax.fori_loop(
+        0, max_out, body, (live0, keep_idx0, keep_score0)
+    )
+    return keep_idx, keep_score, keep_score > NEG_INF
+
+
+def multiclass_nms(
+    boxes: Array,
+    scores: Array,
+    score_thr: float,
+    iou_threshold: float,
+    max_per_img: int,
+    candidate_cap: int = 2048,
+    use_soft_nms: bool = False,
+    soft_min_score: float = 0.05,
+) -> Tuple[Array, Array, Array, Array]:
+    """Multi-class NMS over class-agnostic boxes.
+
+    Behavioral spec: reference bbox_nms.py:7-71 — per-class suppression via
+    class-offset batched NMS, candidates filtered by `score_thr`, top
+    `max_per_img` kept in score order.
+
+    Args:
+      boxes: (N, 4) shared across classes (class-agnostic regression).
+      scores: (N, C+1); the last column (background) is dropped.
+      candidate_cap: static cap on (roi, class) candidates entering NMS;
+        candidates are chosen by top score, so results equal the reference
+        whenever the number of above-threshold candidates that can influence
+        the top `max_per_img` fits the cap (2048 >> 100 in practice).
+
+    Returns:
+      det_boxes (max_per_img, 4), det_scores (max_per_img,),
+      det_labels (max_per_img,) int32 in [0, C), det_valid (max_per_img,) bool.
+    """
+    n, c1 = scores.shape
+    num_classes = c1 - 1
+    cls_scores = scores[:, :num_classes]  # (N, C)
+
+    flat_scores = cls_scores.reshape(-1)  # idx = roi * C + cls
+    flat_scores = jnp.where(flat_scores > score_thr, flat_scores, NEG_INF)
+
+    cap = min(candidate_cap, n * num_classes)
+    top_scores, top_idx = jax.lax.top_k(flat_scores, cap)
+    roi_idx = top_idx // num_classes
+    cls_idx = (top_idx % num_classes).astype(jnp.int32)
+    cand_boxes = boxes[roi_idx]
+
+    if use_soft_nms:
+        keep, keep_score, keep_valid = soft_nms(
+            _offset_by_ids(cand_boxes, top_scores, cls_idx),
+            top_scores,
+            iou_threshold=iou_threshold,
+            min_score=soft_min_score,
+            method="linear",
+            max_out=max_per_img,
+        )
+    else:
+        keep, keep_score, keep_valid = batched_nms(
+            cand_boxes, top_scores, cls_idx, iou_threshold, max_per_img
+        )
+
+    det_boxes = jnp.where(keep_valid[:, None], cand_boxes[keep], 0.0)
+    det_scores = jnp.where(keep_valid, keep_score, 0.0)
+    det_labels = jnp.where(keep_valid, cls_idx[keep], 0)
+    return det_boxes, det_scores, det_labels, keep_valid
+
+
+def _offset_by_ids(boxes: Array, scores: Array, ids: Array) -> Array:
+    max_coord = jnp.max(jnp.where(jnp.isfinite(scores)[:, None], boxes, 0.0))
+    return boxes + ids.astype(boxes.dtype)[:, None] * (max_coord + 1.0)

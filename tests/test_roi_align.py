@@ -1,0 +1,95 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from htd_tpu.ops.roi_align import roi_align, roi_align_multilevel
+from htd_tpu.ops.boxes import map_roi_levels
+from tests.oracles import np_roi_align
+
+
+def _feat(rng, h, w, c):
+    return rng.normal(0, 1, (h, w, c)).astype(np.float32)
+
+
+def _rois(rng, n, h, w, min_size=2.0, max_size=None):
+    max_size = max_size or min(h, w) / 2
+    b = np.zeros((n, 4), np.float32)
+    b[:, 0] = rng.uniform(0, w - max_size, n)
+    b[:, 1] = rng.uniform(0, h - max_size, n)
+    b[:, 2] = b[:, 0] + rng.uniform(min_size, max_size, n)
+    b[:, 3] = b[:, 1] + rng.uniform(min_size, max_size, n)
+    return b
+
+
+def test_roi_align_exact_small_grid(rng):
+    """Adaptive grid <= max_samples -> bit-exact vs the mmcv-spec oracle."""
+    feat = _feat(rng, 24, 32, 8)
+    # rois sized so ceil(bin) <= 4 at scale 1.0: extent <= 28
+    rois = _rois(rng, 12, 24, 32, min_size=3, max_size=11)
+    rois_img = rois * 2.0  # feed at image scale, spatial_scale=0.5
+    out = roi_align(jnp.asarray(feat), jnp.asarray(rois_img), 0.5, 7, 0, max_samples=4)
+    ref = np_roi_align(feat, rois_img, 0.5, 7, 0)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_roi_align_fixed_sampling(rng):
+    feat = _feat(rng, 16, 16, 4)
+    rois = _rois(rng, 8, 16, 16)
+    out = roi_align(jnp.asarray(feat), jnp.asarray(rois), 1.0, 7, 2, max_samples=2)
+    ref = np_roi_align(feat, rois, 1.0, 7, 2)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_roi_align_border_and_outside(rng):
+    """Rois partially/fully outside the map follow mmcv border semantics."""
+    feat = _feat(rng, 10, 10, 2)
+    rois = np.array(
+        [
+            [-5.0, -5.0, 4.0, 4.0],     # straddles the top-left corner
+            [8.0, 8.0, 15.0, 15.0],     # straddles bottom-right
+            [-30.0, -30.0, -20.0, -20.0],  # fully outside -> zeros
+            [3.0, 3.0, 3.0, 3.0],       # degenerate (zero-area) -> zeros
+        ],
+        np.float32,
+    )
+    out = np.asarray(roi_align(jnp.asarray(feat), jnp.asarray(rois), 1.0, 7, 0, max_samples=2))
+    ref = np_roi_align(feat, rois, 1.0, 7, 0)
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+    assert np.abs(out[2]).max() == 0
+    assert np.abs(out[3]).max() == 0
+
+
+def test_roi_align_constant_feature(rng):
+    """Averaging property: constant feature map -> constant output."""
+    feat = np.full((20, 20, 3), 2.5, np.float32)
+    rois = _rois(rng, 5, 20, 20, min_size=4, max_size=9)
+    out = np.asarray(roi_align(jnp.asarray(feat), jnp.asarray(rois), 1.0, 7, 0, max_samples=3))
+    np.testing.assert_allclose(out, 2.5, rtol=1e-5)
+
+
+def test_roi_align_multilevel_dispatch(rng):
+    strides = (4, 8)
+    feats = [_feat(rng, 32, 32, 4), _feat(rng, 16, 16, 4)]
+    # one roi that maps to level 0 (small) and one to level 1 (large)
+    rois = np.array([[0.0, 0.0, 40.0, 40.0], [0.0, 0.0, 120.0, 120.0]], np.float32)
+    lvls = map_roi_levels(jnp.asarray(rois), 2)
+    np.testing.assert_array_equal(np.asarray(lvls), [0, 1])
+    out = roi_align_multilevel(
+        [jnp.asarray(f) for f in feats], jnp.asarray(rois), strides, lvls,
+        out_size=7, sampling_ratio=0, max_samples=4,
+    )
+    ref0 = np_roi_align(feats[0], rois[:1], 1 / 4, 7, 0)
+    ref1 = np_roi_align(feats[1], rois[1:], 1 / 8, 7, 0)
+    np.testing.assert_allclose(np.asarray(out[0]), ref0[0], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out[1]), ref1[0], rtol=1e-4, atol=1e-5)
+
+
+def test_roi_align_batched_vmap(rng):
+    feat = rng.normal(0, 1, (2, 12, 12, 4)).astype(np.float32)
+    rois = np.stack([_rois(rng, 6, 12, 12), _rois(rng, 6, 12, 12)])
+    out = jax.vmap(lambda f, r: roi_align(f, r, 1.0, 7, 0, max_samples=3))(
+        jnp.asarray(feat), jnp.asarray(rois)
+    )
+    for b in range(2):
+        ref = np_roi_align(feat[b], rois[b], 1.0, 7, 0)
+        np.testing.assert_allclose(np.asarray(out[b]), ref, rtol=1e-4, atol=1e-5)
