@@ -1,0 +1,439 @@
+"""The HTD detector: Faster R-CNN shell + two-stage heterogeneous RoI head.
+
+Behavioral specs:
+  * shell: reference two_stage.py (backbone -> FPN -> RPN -> RoI head);
+  * RoI head orchestration: reference htd_roi_head.py —
+      - simple_test (:319-386): SFA once, stage-0 Shared2FC on proposals,
+        refine via argmax-FG label + class-agnostic decode, stage-1 HTD head,
+        final score = mean of the two stages' logits, multiclass NMS;
+      - forward_train (:217-317): per-stage assign/sample, SFA BCE loss,
+        stage-0 losses, no-grad proposal refinement dropping gt-rois,
+        stage-1 losses at weight 0.5.
+
+TPU adaptations: everything batched (B, R, ...) with validity masks; the
+reference's 2-images-per-GPU hardcode (htd_roi_head.py:158-182) is
+generalized to any batch via the pos-first sample layout.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from htd_tpu.config import HTDConfig
+from htd_tpu.models.resnet import ResNet
+from htd_tpu.models.fpn import FPN
+from htd_tpu.models.rpn import RPNHead, gen_proposals
+from htd_tpu.models.heads import GlobalContextHead, HTDBBoxHead, Shared2FCBBoxHead
+from htd_tpu.models.roi_extract import AdptRoIExtractor, single_roi_extract
+from htd_tpu.ops.anchors import AnchorGenerator, anchor_inside_flags
+from htd_tpu.ops.boxes import bbox2delta, delta2bbox
+from htd_tpu.ops.nms import multiclass_nms
+from htd_tpu.train import losses as L
+from htd_tpu.train.sampling import assign_max_iou, sample_random
+
+Array = jnp.ndarray
+
+
+class Detections(NamedTuple):
+    boxes: Array    # (B, max_per_img, 4) in original-image coords
+    scores: Array   # (B, max_per_img)
+    labels: Array   # (B, max_per_img) int32
+    valid: Array    # (B, max_per_img) bool
+
+
+class HTDDetector(nn.Module):
+    cfg: HTDConfig
+
+    def setup(self):
+        c = self.cfg
+        dt = jnp.bfloat16 if c.compute_dtype == "bfloat16" else jnp.float32
+        self.backbone = ResNet(
+            depth=c.backbone.depth,
+            groups=c.backbone.groups,
+            base_width=c.backbone.base_width,
+            out_indices=c.backbone.out_indices,
+            stage_with_dcn=c.backbone.stage_with_dcn,
+            deform_groups=c.backbone.dcn_deform_groups,
+            dtype=dt,
+            name="backbone",
+        )
+        self.neck = FPN(
+            out_channels=c.fpn.out_channels, num_outs=c.fpn.num_outs,
+            dtype=dt, name="neck",
+        )
+        self.anchor_gen = AnchorGenerator(
+            strides=c.rpn.anchor.strides,
+            ratios=c.rpn.anchor.ratios,
+            scales=c.rpn.anchor.scales,
+        )
+        self.rpn_head = RPNHead(
+            feat_channels=c.rpn.feat_channels,
+            num_anchors=self.anchor_gen.num_base_anchors,
+            dtype=dt,
+            name="rpn_head",
+        )
+        if c.with_global:
+            self.glbctx_head = GlobalContextHead(
+                c.global_ctx, num_classes_p1=c.num_classes + 1, dtype=dt,
+                name="glbctx_head",
+            )
+        self.stage0_head = Shared2FCBBoxHead(
+            num_classes=c.num_classes,
+            fc_out=c.stage0_head.fc_out_channels,
+            dtype=dt,
+            name="stage0_head",
+        )
+        self.adpt_extractor = AdptRoIExtractor(
+            c.roi_extractor, dtype=dt, name="adpt_extractor"
+        )
+        self.stage1_head = HTDBBoxHead(
+            c.stage1_head,
+            num_levels=len(c.roi_extractor.featmap_strides),
+            dtype=dt,
+            name="stage1_head",
+        )
+
+    # ------------------------------------------------------------------
+    # shared pieces
+    # ------------------------------------------------------------------
+
+    def extract_feats(self, images: Array) -> Tuple[Array, ...]:
+        """(B, H, W, 3) normalized images -> 5 FPN levels (NHWC)."""
+        return self.neck(self.backbone(images))
+
+    def _roi_feats(self, feats4, rois: Array) -> Array:
+        """(B, R, 4) rois -> (B, R, 7, 7, C) level-mapped aligned features."""
+        def one(img_feats, img_rois):
+            return single_roi_extract(img_feats, img_rois, self.cfg.roi_extractor)
+
+        return jax.vmap(one)(list(feats4), rois)
+
+    def _global(self, feats) -> Tuple[Optional[Array], Optional[Array]]:
+        if not self.cfg.with_global:
+            return None, None
+        logits, feat = self.glbctx_head(feats[-1])
+        return logits, feat
+
+    def _stage0(self, feats4, rois, global_feat):
+        roi_feats = self._roi_feats(feats4, rois)
+        if global_feat is not None:
+            roi_feats = roi_feats + global_feat[:, None, None, None, :].astype(
+                roi_feats.dtype
+            )
+        cls, reg = self.stage0_head(roi_feats)
+        return cls.astype(jnp.float32), reg.astype(jnp.float32)
+
+    def _refine(self, rois, cls_score, bbox_pred, img_shapes):
+        """Class-agnostic refinement of rois by stage-0 regression."""
+        del cls_score  # agnostic decode; labels only matter for per-class reg
+        c = self.cfg.stage0_head.coder
+
+        def one(r, d, shape):
+            return delta2bbox(r, d, c.means, c.stds, max_shape=shape)
+
+        return jax.vmap(one)(rois, bbox_pred, img_shapes)
+
+    def _stage1(self, feats4, rois, roi_valid, pos_rois, x_reg_feats, global_feat):
+        """Run the heterogeneous head.
+
+        x_reg_feats: (B, P, 7, 7, C) single-extracted features of `pos_rois`
+        (at test P == R and pos_rois == rois).
+        """
+        x_cls = self._roi_feats(feats4, rois)
+        enhanced = self.adpt_extractor(feats4, pos_rois)
+        k0, b0 = self.stage0_head.cls_params()
+        cls, reg = self.stage1_head(
+            x_cls,
+            x_reg_feats if x_reg_feats is not None else x_cls,
+            rois,
+            roi_valid,
+            k0,
+            b0,
+            enhanced,
+            global_feat,
+        )
+        return cls.astype(jnp.float32), reg.astype(jnp.float32), x_cls
+
+    # ------------------------------------------------------------------
+    # inference
+    # ------------------------------------------------------------------
+
+    def __call__(self, images, img_shapes, scale_factors):
+        return self.simple_test(images, img_shapes, scale_factors)
+
+    def simple_test(
+        self,
+        images: Array,         # (B, H, W, 3) normalized, bucket-padded
+        img_shapes: Array,     # (B, 2) resized (h, w) per image
+        scale_factors: Array,  # (B, 4) (w, h, w, h) resize factors
+    ) -> Detections:
+        c = self.cfg
+        feats = self.extract_feats(images)
+        feats4 = feats[: len(c.roi_extractor.featmap_strides)]
+        rpn_scores, rpn_deltas = self.rpn_head(feats)
+        props, prop_scores, prop_valid = gen_proposals(
+            rpn_scores, rpn_deltas, self.anchor_gen, img_shapes, c.proposal_test
+        )
+        _, global_feat = self._global(feats)
+
+        # stage 0 + refinement
+        s0_cls, s0_reg = self._stage0(feats4, props, global_feat)
+        rois1 = self._refine(props, s0_cls, s0_reg, img_shapes)
+
+        # stage 1 (all rois through both branches at test)
+        s1_cls, s1_reg, _ = self._stage1(
+            feats4, rois1, prop_valid, rois1, None, global_feat
+        )
+        cls_score = (s0_cls + s1_cls) / 2.0
+
+        # decode + rescale + multiclass NMS per image
+        coder = c.stage1_head.coder
+        probs = jax.nn.softmax(cls_score, axis=-1)
+        probs = jnp.where(prop_valid[..., None], probs, 0.0)
+
+        def post_one(rois_i, deltas_i, probs_i, shape_i, sf_i):
+            boxes = delta2bbox(
+                rois_i, deltas_i, coder.means, coder.stds, max_shape=shape_i
+            )
+            boxes = boxes / sf_i  # rescale to original image
+            return multiclass_nms(
+                boxes,
+                probs_i,
+                c.rcnn_test.score_thr,
+                c.rcnn_test.nms_iou,
+                c.rcnn_test.max_per_img,
+                use_soft_nms=c.rcnn_test.use_soft_nms,
+                soft_min_score=c.rcnn_test.soft_min_score,
+            )
+
+        db, ds, dl, dv = jax.vmap(post_one)(
+            rois1, s1_reg, probs, img_shapes, scale_factors
+        )
+        return Detections(db, ds, dl, dv)
+
+    # ------------------------------------------------------------------
+    # training
+    # ------------------------------------------------------------------
+
+    def forward_train(
+        self,
+        images: Array,       # (B, H, W, 3)
+        img_shapes: Array,   # (B, 2)
+        gt_boxes: Array,     # (B, G, 4) padded
+        gt_labels: Array,    # (B, G) int32
+        gt_valid: Array,     # (B, G) bool
+    ) -> Dict[str, Array]:
+        c = self.cfg
+        tc = c.train
+        key = self.make_rng("sampling")
+        b = images.shape[0]
+        losses: Dict[str, Array] = {}
+
+        feats = self.extract_feats(images)
+        feats4 = feats[: len(c.roi_extractor.featmap_strides)]
+        rpn_scores, rpn_deltas = self.rpn_head(feats)
+
+        # ---- RPN losses
+        k_rpn, k_s0, k_s1 = jax.random.split(key, 3)
+        rpn_cls_loss, rpn_bbox_loss = self._rpn_loss(
+            rpn_scores, rpn_deltas, img_shapes, gt_boxes, gt_valid, k_rpn
+        )
+        losses["loss_rpn_cls"] = rpn_cls_loss
+        losses["loss_rpn_bbox"] = rpn_bbox_loss
+
+        # ---- proposals (no grad into RPN through boxes)
+        props, prop_scores, prop_valid = gen_proposals(
+            [jax.lax.stop_gradient(s) for s in rpn_scores],
+            [jax.lax.stop_gradient(d) for d in rpn_deltas],
+            self.anchor_gen,
+            img_shapes,
+            tc.rpn_proposal,
+        )
+
+        # ---- SFA / global context
+        glb_logits, global_feat = self._global(feats)
+        if glb_logits is not None:
+            onehot = jax.nn.one_hot(gt_labels, c.num_classes + 1)
+            onehot = onehot * gt_valid[..., None]
+            targets = (jnp.sum(onehot, axis=1) > 0).astype(jnp.float32)
+            losses["loss_global"] = L.multilabel_bce(
+                glb_logits, targets, c.global_ctx.loss_weight
+            )
+
+        # ---- stage 0
+        s0_train = c.train.rcnn[0]
+        keys0 = jax.random.split(k_s0, b)
+        samp0 = jax.vmap(
+            lambda kk, pb, pv, gb, gv, gl: sample_random(
+                kk, pb, pv, gb, gv, gl,
+                s0_train.assigner, s0_train.sampler, tc.rcnn_pos_cap, c.num_classes,
+            )
+        )(keys0, props, prop_valid, gt_boxes, gt_valid, gt_labels)
+
+        s0_cls, s0_reg = self._stage0(feats4, samp0.rois, global_feat)
+        lw0 = tc.stage_loss_weights[0]
+        l_cls0, l_bbox0, acc0 = self._bbox_head_loss(
+            s0_cls, s0_reg, samp0, c.stage0_head.coder, c.stage0_head.loss_bbox_beta
+        )
+        losses["s0.loss_cls"] = l_cls0 * lw0
+        losses["s0.loss_bbox"] = l_bbox0 * lw0
+        losses["s0.acc"] = acc0
+
+        # ---- refine proposals for stage 1 (no grad, gt rows dropped)
+        roi_labels = jnp.where(
+            samp0.labels == c.num_classes,
+            jnp.argmax(s0_cls[..., :-1], axis=-1).astype(jnp.int32),
+            samp0.labels,
+        )
+        del roi_labels  # class-agnostic regression: labels don't alter decode
+        refined = jax.lax.stop_gradient(
+            self._refine(samp0.rois, s0_cls, s0_reg, img_shapes)
+        )
+        refined_valid = samp0.valid & (~samp0.is_gt)
+
+        # ---- stage 1
+        s1_train = c.train.rcnn[1]
+        keys1 = jax.random.split(k_s1, b)
+        samp1 = jax.vmap(
+            lambda kk, pb, pv, gb, gv, gl: sample_random(
+                kk, pb, pv, gb, gv, gl,
+                s1_train.assigner, s1_train.sampler, tc.rcnn_pos_cap, c.num_classes,
+            )
+        )(keys1, refined, refined_valid, gt_boxes, gt_valid, gt_labels)
+
+        pos_cap = tc.rcnn_pos_cap
+        pos_rois = samp1.rois[:, :pos_cap]
+        x_cls1 = self._roi_feats(feats4, samp1.rois)
+        x_reg1 = x_cls1[:, :pos_cap]
+        enhanced = self.adpt_extractor(feats4, pos_rois)
+        k0, b0 = self.stage0_head.cls_params()
+        s1_cls, s1_reg_pos = self.stage1_head(
+            x_cls1,
+            x_reg1,
+            samp1.rois,
+            samp1.valid,
+            k0,
+            b0,
+            enhanced,
+            global_feat,
+        )
+        s1_cls = s1_cls.astype(jnp.float32)
+        # scatter positive-block predictions into the full roi block
+        num = s1_train.sampler.num
+        s1_reg = jnp.zeros((b, num, 4), jnp.float32)
+        s1_reg = s1_reg.at[:, :pos_cap].set(s1_reg_pos.astype(jnp.float32))
+
+        lw1 = tc.stage_loss_weights[1]
+        l_cls1, l_bbox1, acc1 = self._bbox_head_loss(
+            s1_cls, s1_reg, samp1, c.stage1_head.coder, c.stage1_head.loss_bbox_beta
+        )
+        losses["s1.loss_cls"] = l_cls1 * lw1
+        losses["s1.loss_bbox"] = l_bbox1 * lw1
+        losses["s1.acc"] = acc1
+        return losses
+
+    # ------------------------------------------------------------------
+
+    def _rpn_loss(self, level_scores, level_deltas, img_shapes, gt_boxes, gt_valid, key):
+        """Assign/sample anchors and compute RPN losses (flat over levels).
+
+        Behavioral spec: anchor_head.py:142-418 + rpn allowed_border=0.
+        """
+        c = self.cfg
+        tc = c.train
+        featmap_sizes = [tuple(s.shape[1:3]) for s in level_scores]
+        anchors = jnp.concatenate(
+            [
+                self.anchor_gen.grid_anchors_level(i, fs)
+                for i, fs in enumerate(featmap_sizes)
+            ],
+            axis=0,
+        )
+        b = level_scores[0].shape[0]
+        flat_scores = jnp.concatenate(
+            [s.reshape(b, -1) for s in level_scores], axis=1
+        ).astype(jnp.float32)
+        flat_deltas = jnp.concatenate(
+            [d.reshape(b, -1, 4) for d in level_deltas], axis=1
+        ).astype(jnp.float32)
+
+        pos_cap = int(tc.rpn_sampler.num * tc.rpn_sampler.pos_fraction)
+
+        def one(kk, shape, gb, gv):
+            pad_shape = jnp.ceil(shape.astype(jnp.float32) / 32.0) * 32.0
+            vf = jnp.concatenate(
+                [
+                    self.anchor_gen.valid_flags_level(i, fs, pad_shape)
+                    for i, fs in enumerate(featmap_sizes)
+                ]
+            )
+            inside = anchor_inside_flags(anchors, vf, shape, tc.rpn_allowed_border)
+            ar = assign_max_iou(
+                anchors, inside, gb, gv, jnp.zeros_like(gv, jnp.int32),
+                tc.rpn_assigner,
+            )
+            k1, k2 = jax.random.split(kk)
+            pos_mask = ar.gt_inds > 0
+            neg_mask = ar.gt_inds == 0
+            pos_key = jnp.where(
+                pos_mask, jax.random.uniform(k1, pos_mask.shape), -1.0
+            )
+            neg_key = jnp.where(
+                neg_mask, jax.random.uniform(k2, neg_mask.shape), -1.0
+            )
+            top_pos, pos_idx = jax.lax.top_k(pos_key, pos_cap)
+            npos = jnp.sum(top_pos >= 0)
+            n_neg_needed = tc.rpn_sampler.num - npos
+            top_neg, neg_idx = jax.lax.top_k(neg_key, tc.rpn_sampler.num)
+            rank = jnp.arange(tc.rpn_sampler.num)
+            neg_keep_sel = (rank < n_neg_needed) & (top_neg >= 0)
+
+            keep_pos = jnp.zeros(anchors.shape[0], bool).at[pos_idx].set(top_pos >= 0)
+            keep_neg = jnp.zeros(anchors.shape[0], bool).at[neg_idx].set(neg_keep_sel)
+
+            matched_gt = jnp.maximum(ar.gt_inds - 1, 0)
+            # NaN-safe: unmatched anchors encode against themselves (delta 0)
+            gt_for_anchor = jnp.where(
+                (ar.gt_inds > 0)[:, None], gb[matched_gt], anchors
+            )
+            tgt = bbox2delta(anchors, gt_for_anchor, c.rpn.coder.means, c.rpn.coder.stds)
+            cls_t = keep_pos.astype(jnp.float32)
+            cls_w = (keep_pos | keep_neg).astype(jnp.float32)
+            box_w = keep_pos.astype(jnp.float32)
+            return cls_t, cls_w, tgt, box_w
+
+        keys = jax.random.split(key, b)
+        cls_t, cls_w, box_t, box_w = jax.vmap(one)(keys, img_shapes, gt_boxes, gt_valid)
+        num_total = jnp.sum(cls_w)
+        loss_cls = L.sigmoid_bce(flat_scores, cls_t, cls_w, num_total)
+        loss_bbox = L.smooth_l1_loss(
+            flat_deltas, box_t, box_w[..., None], c.rpn.loss_bbox_beta, num_total
+        )
+        return loss_cls, loss_bbox
+
+    def _bbox_head_loss(self, cls_score, bbox_pred, samp, coder, beta):
+        """Softmax CE over all sampled rois + smooth-L1 on positives.
+
+        Behavioral spec: bbox_head.py:141-186 averaging rules.
+        """
+        labels = samp.labels
+        label_w = samp.valid.astype(jnp.float32)
+        avg_cls = jnp.sum(label_w)
+        l_cls = L.softmax_ce(cls_score, labels, label_w, avg_cls)
+
+        # NaN-safe: non-positive slots encode a unit box against itself
+        unit = jnp.array([0.0, 0.0, 1.0, 1.0], jnp.float32)
+        pos3 = samp.is_pos[..., None]
+        safe_rois = jnp.where(pos3, samp.rois, unit)
+        safe_gt = jnp.where(pos3, samp.pos_gt_boxes, unit)
+        tgt = bbox2delta(safe_rois, safe_gt, coder.means, coder.stds)
+        box_w = samp.is_pos.astype(jnp.float32)[..., None]
+        avg_box = jnp.sum(label_w)  # total sampled rois (reference semantics)
+        l_bbox = L.smooth_l1_loss(bbox_pred, tgt, box_w, beta, avg_box)
+        acc = L.accuracy(cls_score, labels, label_w)
+        return l_cls, l_bbox, acc

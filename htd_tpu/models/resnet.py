@@ -23,7 +23,12 @@ from htd_tpu.models.layers import FrozenBatchNorm, conv, max_pool
 
 Array = jnp.ndarray
 
-ARCH_BLOCKS = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3), 152: (3, 8, 36, 3)}
+ARCH_BLOCKS = {
+    10: (1, 1, 1, 1),  # test-only tiny variant
+    50: (3, 4, 6, 3),
+    101: (3, 4, 23, 3),
+    152: (3, 8, 36, 3),
+}
 
 
 class DeformConv2d(nn.Module):

@@ -1,0 +1,90 @@
+"""RoI feature extractors.
+
+Behavioral specs:
+  * SingleRoIExtractor: reference single_level_roi_extractor.py:9-98 —
+    RoIAlign on the FPN level selected by floor(log2(sqrt(area)/56)).
+  * AdptRoIExtractor (the BA extractor): reference
+    adaptative_roi_extractor.py:24-91 — RoIAlign on ALL levels, per-level
+    scalar attention (GAP -> 1x1 conv 256->128 -> tanh -> 1x1 conv 128->1),
+    softmax over levels, weighted sum, plus a level-0 "border ring" feature
+    (interior zeroed at `edge` pixels).
+
+All functions take one image's (H_l, W_l, C) features + a fixed-capacity
+(R, 4) roi array; batch via vmap at the call site.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from htd_tpu.config import RoIExtractorConfig
+from htd_tpu.ops.boxes import map_roi_levels
+from htd_tpu.ops.roi_align import roi_align, roi_align_multilevel
+
+Array = jnp.ndarray
+
+
+def single_roi_extract(
+    feats: Sequence[Array],
+    rois: Array,
+    cfg: RoIExtractorConfig,
+) -> Array:
+    """Level-mapped RoIAlign. feats: per-level (H,W,C); rois (R,4) -> (R,7,7,C)."""
+    lvls = map_roi_levels(rois, len(cfg.featmap_strides), cfg.finest_scale)
+    return roi_align_multilevel(
+        feats,
+        rois,
+        cfg.featmap_strides,
+        lvls,
+        out_size=cfg.out_size,
+        sampling_ratio=cfg.sampling_ratio,
+        max_samples=cfg.max_samples,
+    )
+
+
+class AdptRoIExtractor(nn.Module):
+    """BA extractor: attention-weighted all-level fusion + border ring."""
+
+    cfg: RoIExtractorConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: Sequence[Array], rois: Array) -> Array:
+        """feats: per-level (B, H, W, C); rois (B, R, 4) -> (B, R, 7, 7, C)."""
+        att_conv1 = nn.Dense(128, dtype=self.dtype, name="att_conv1")
+        att_conv2 = nn.Dense(1, dtype=self.dtype, name="att_conv2")
+
+        per_level = []
+        att_logits = []
+        for lvl, stride in enumerate(self.cfg.featmap_strides):
+            align = lambda f, r: roi_align(  # noqa: E731
+                f,
+                r,
+                spatial_scale=1.0 / stride,
+                out_size=self.cfg.out_size,
+                sampling_ratio=self.cfg.sampling_ratio,
+                max_samples=self.cfg.max_samples,
+            )
+            rf = jax.vmap(align)(feats[lvl], rois)  # (B, R, 7, 7, C)
+            per_level.append(rf)
+            pooled = rf.mean(axis=(2, 3))  # GAP -> (B, R, C)
+            a = att_conv2(jnp.tanh(att_conv1(pooled)))  # (B, R, 1)
+            att_logits.append(a[..., 0])
+
+        att = jax.nn.softmax(jnp.stack(att_logits, axis=0), axis=0)  # (L, B, R)
+        stacked = jnp.stack(per_level, axis=0)  # (L, B, R, 7, 7, C)
+        fused = jnp.einsum("lbrhwc,lbr->brhwc", stacked, att.astype(stacked.dtype))
+
+        # border ring from the finest level: zero the interior
+        ring = per_level[0]
+        e = self.cfg.adpt_edge
+        o = self.cfg.out_size
+        ys = jnp.arange(o)
+        border = (ys < e) | (ys >= o - e)
+        keep = border[:, None] | border[None, :]  # (7, 7) True on the ring
+        ring = ring * keep[None, None, :, :, None].astype(ring.dtype)
+        return fused + ring

@@ -1,0 +1,129 @@
+"""RPN head + static-shape proposal generation.
+
+Behavioral spec: reference rpn_head.py:23-43 (3x3 conv + 1x1 sigmoid cls +
+1x1 reg) and rpn_head.py:78-168 (per-level pre-NMS top-k, delta decode
+clipped to img_shape, level-aware batched NMS, nms_post cap).
+
+TPU adaptations (result-preserving):
+  * per-level top-k with scores of anchors outside the per-image pad region
+    (ceil32 of the resized shape) masked to -inf — this makes a fixed
+    (bucket-padded) input behave exactly like the reference's per-image
+    padding;
+  * fixed-capacity outputs: (nms_post, 4) proposals + validity mask.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from htd_tpu.config import ProposalConfig, RPNConfig
+from htd_tpu.ops.anchors import AnchorGenerator
+from htd_tpu.ops.boxes import delta2bbox
+from htd_tpu.ops.nms import batched_nms, NEG_INF
+
+Array = jnp.ndarray
+
+
+class RPNHead(nn.Module):
+    """Shared conv tower applied to every FPN level."""
+
+    feat_channels: int = 256
+    num_anchors: int = 3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: Sequence[Array]):
+        conv = nn.Conv(
+            self.feat_channels, (3, 3), padding=((1, 1), (1, 1)),
+            kernel_init=nn.initializers.normal(0.01), dtype=self.dtype, name="rpn_conv",
+        )
+        cls = nn.Conv(
+            self.num_anchors, (1, 1),
+            kernel_init=nn.initializers.normal(0.01), dtype=self.dtype, name="rpn_cls",
+        )
+        reg = nn.Conv(
+            self.num_anchors * 4, (1, 1),
+            kernel_init=nn.initializers.normal(0.01), dtype=self.dtype, name="rpn_reg",
+        )
+        scores, deltas = [], []
+        for f in feats:
+            t = nn.relu(conv(f))
+            scores.append(cls(t))
+            deltas.append(reg(t))
+        return scores, deltas
+
+
+def gen_proposals_single(
+    level_scores: Sequence[Array],   # (H_l, W_l, A) raw logits
+    level_deltas: Sequence[Array],   # (H_l, W_l, A*4)
+    level_anchors: Sequence[Array],  # (H_l*W_l*A, 4)
+    generator: AnchorGenerator,
+    img_shape: Array,                # (2,) resized (h, w) of this image
+    cfg: ProposalConfig,
+) -> Tuple[Array, Array, Array]:
+    """Proposals for ONE image. Returns (boxes (P,4), scores (P,), valid (P,))
+    with P = cfg.nms_post, score-ordered."""
+    pad_shape = jnp.ceil(img_shape.astype(jnp.float32) / 32.0) * 32.0
+
+    cand_scores, cand_boxes, cand_ids = [], [], []
+    for lvl, (s, d, anchors) in enumerate(
+        zip(level_scores, level_deltas, level_anchors)
+    ):
+        fh, fw = s.shape[0], s.shape[1]
+        flat_s = s.reshape(-1).astype(jnp.float32)
+        flat_d = d.reshape(-1, 4).astype(jnp.float32)
+        prob = jax.nn.sigmoid(flat_s)
+        # emulate the reference's per-image padding: anchors whose grid cell
+        # lies beyond ceil32(img_shape) never existed there
+        valid = generator.valid_flags_level(lvl, (fh, fw), pad_shape)
+        prob = jnp.where(valid, prob, NEG_INF)
+
+        k = min(cfg.nms_pre, int(prob.shape[0]))
+        top_s, top_i = jax.lax.top_k(prob, k)
+        boxes = delta2bbox(anchors[top_i], flat_d[top_i], max_shape=img_shape)
+        cand_scores.append(top_s)
+        cand_boxes.append(boxes)
+        cand_ids.append(jnp.full((k,), lvl, jnp.int32))
+
+    scores = jnp.concatenate(cand_scores)
+    boxes = jnp.concatenate(cand_boxes)
+    ids = jnp.concatenate(cand_ids)
+
+    if cfg.min_bbox_size > 0:
+        w = boxes[:, 2] - boxes[:, 0]
+        h = boxes[:, 3] - boxes[:, 1]
+        ok = (w >= cfg.min_bbox_size) & (h >= cfg.min_bbox_size)
+        scores = jnp.where(ok, scores, NEG_INF)
+
+    keep_idx, keep_score, keep_valid = batched_nms(
+        boxes, scores, ids, cfg.nms_thr, cfg.nms_post
+    )
+    out_boxes = jnp.where(keep_valid[:, None], boxes[keep_idx], 0.0)
+    out_scores = jnp.where(keep_valid, keep_score, 0.0)
+    return out_boxes, out_scores, keep_valid
+
+
+def gen_proposals(
+    level_scores: Sequence[Array],   # (B, H_l, W_l, A) each
+    level_deltas: Sequence[Array],
+    generator: AnchorGenerator,
+    img_shapes: Array,               # (B, 2)
+    cfg: ProposalConfig,
+) -> Tuple[Array, Array, Array]:
+    """Batched proposal generation. Returns (B, P, 4), (B, P), (B, P)."""
+    featmap_sizes = [tuple(s.shape[1:3]) for s in level_scores]
+    anchors = [
+        generator.grid_anchors_level(i, fs) for i, fs in enumerate(featmap_sizes)
+    ]
+
+    def single(scores, deltas, shape):
+        return gen_proposals_single(scores, deltas, anchors, generator, shape, cfg)
+
+    return jax.vmap(single)(
+        list(level_scores), list(level_deltas), img_shapes
+    )

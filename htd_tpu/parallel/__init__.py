@@ -1,0 +1,6 @@
+from htd_tpu.parallel.mesh import (
+    make_mesh,
+    batch_sharding,
+    replicated,
+    shard_pytree_batch,
+)
