@@ -1,0 +1,140 @@
+"""High-level APIs: init / single-image inference / dataset evaluation.
+
+Behavioral spec: reference mmdet/apis (inference.py:16-124 init+infer,
+test.py:16-190 dataset test loop + result collection, train.py:35-150).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from htd_tpu.config import HTDConfig
+
+
+def init_detector(cfg: HTDConfig, checkpoint: Optional[str] = None):
+    """Build the model and its variables (from a checkpoint if given).
+
+    Checkpoint may be an mmdet .pth (converted on the fly) or an orbax dir.
+    Returns (model, variables).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from htd_tpu.models.detector import HTDDetector
+
+    model = HTDDetector(cfg)
+    if checkpoint and checkpoint.endswith(".pth"):
+        from htd_tpu.train.checkpoint import load_torch_checkpoint
+
+        variables = load_torch_checkpoint(checkpoint, cfg)
+    else:
+        init_fn = jax.jit(
+            lambda r, im, sh, sf: model.init({"params": r}, im, sh, sf)
+        )
+        variables = init_fn(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 64, 64, 3)),
+            jnp.asarray([[64.0, 64.0]]),
+            jnp.ones((1, 4)),
+        )
+        if checkpoint:
+            from htd_tpu.train.checkpoint import restore_checkpoint
+
+            variables = restore_checkpoint(checkpoint, variables)
+    return model, variables
+
+
+def make_inference_fn(model, variables):
+    """Returns a jitted fn(images, img_shapes, scale_factors) -> Detections.
+
+    One compilation per input bucket shape (XLA caches by shape).
+    """
+    import jax
+
+    @jax.jit
+    def fwd(images, img_shapes, scale_factors):
+        return model.apply(variables, images, img_shapes, scale_factors)
+
+    return fwd
+
+
+def inference_detector(
+    model,
+    variables,
+    img_bgr: np.ndarray,
+    scale: Tuple[int, int] = (1333, 800),
+    fwd=None,
+):
+    """Single-image inference. Returns (boxes (k,4), scores (k,), labels (k,))
+    in original-image coordinates (reference apis/inference.py:82)."""
+    import jax.numpy as jnp
+
+    from htd_tpu.data.pipeline import bucket_shape, preprocess
+
+    landscape = img_bgr.shape[1] >= img_bgr.shape[0]
+    bucket = bucket_shape(scale, landscape)
+    p = preprocess(img_bgr, scale=scale, bucket=bucket)
+    fwd = fwd or make_inference_fn(model, variables)
+    dets = fwd(
+        jnp.asarray(p.image[None]),
+        jnp.asarray(p.img_shape[None]),
+        jnp.asarray(p.scale_factor[None]),
+    )
+    v = np.asarray(dets.valid[0])
+    return (
+        np.asarray(dets.boxes[0])[v],
+        np.asarray(dets.scores[0])[v],
+        np.asarray(dets.labels[0])[v],
+    )
+
+
+def evaluate_dataset(
+    model,
+    variables,
+    dataset,
+    batch_size: int = 8,
+    scale: Tuple[int, int] = (1333, 800),
+    max_images: Optional[int] = None,
+    log_every: int = 50,
+) -> Dict[str, float]:
+    """COCO val loop: batched static-bucket inference + native COCO mAP."""
+    import jax.numpy as jnp
+
+    from htd_tpu.data.coco import grouped_batches, make_test_batch
+    from htd_tpu.data.coco_eval import evaluate_coco_map
+
+    fwd = make_inference_fn(model, variables)
+    detections: Dict[int, Tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+    seen = 0
+    t0 = time.time()
+    for records in grouped_batches(dataset, batch_size, shuffle=False):
+        if max_images is not None and seen >= max_images:
+            break
+        images, shapes, sfs, ids = make_test_batch(
+            dataset, records, scale=scale, batch_size=batch_size
+        )
+        dets = fwd(jnp.asarray(images), jnp.asarray(shapes), jnp.asarray(sfs))
+        boxes = np.asarray(dets.boxes)
+        scores = np.asarray(dets.scores)
+        labels = np.asarray(dets.labels)
+        valid = np.asarray(dets.valid)
+        for i, img_id in enumerate(ids):
+            if img_id < 0:
+                continue
+            m = valid[i]
+            detections[int(img_id)] = (boxes[i][m], scores[i][m], labels[i][m])
+            seen += 1
+        if log_every and seen % log_every < batch_size:
+            dt = time.time() - t0
+            print(f"[eval] {seen} imgs, {seen / max(dt, 1e-9):.2f} img/s")
+
+    gt = dataset.groundtruth()
+    gt = {k: v for k, v in gt.items() if k in detections}
+    metrics = evaluate_coco_map(
+        detections, gt, num_classes=len(dataset.cat_ids) or 80
+    )
+    return metrics

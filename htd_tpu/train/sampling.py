@@ -47,9 +47,11 @@ def assign_max_iou(
     g = gt_boxes.shape[0]
     iou = bbox_overlaps(gt_boxes, boxes)  # (G, N)
     pair_valid = gt_valid[:, None] & box_valid[None, :]
-    iou = jnp.where(pair_valid, iou, -1.0)
+    # masked pairs contribute IoU 0 (matching the reference, which simply has
+    # no such rows): boxes overlapping no valid gt become negatives
+    iou = jnp.where(pair_valid, iou, 0.0)
 
-    max_iou = jnp.max(iou, axis=0, initial=-1.0)
+    max_iou = jnp.max(iou, axis=0, initial=0.0)
     argmax_gt = jnp.argmax(iou, axis=0)
 
     assigned = jnp.full((n,), -1, jnp.int32)

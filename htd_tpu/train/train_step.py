@@ -49,8 +49,11 @@ def create_train_state(
     model = HTDDetector(cfg)
     if pretrained_variables is None:
         b = sample_batch.images.shape[0]
-        variables = model.init(
-            {"params": rng},
+        init_fn = jax.jit(
+            lambda r, im, sh, sf: model.init({"params": r}, im, sh, sf)
+        )
+        variables = init_fn(
+            rng,
             sample_batch.images,
             sample_batch.img_shapes,
             jnp.ones((b, 4), jnp.float32),

@@ -17,8 +17,11 @@ def setup():
     model = HTDDetector(cfg)
     batch = synthetic_batch(rng, b=2, h=64, w=96, max_gt=cfg.train.max_gt)
     images, img_shapes, scale_factors, gt_boxes, gt_labels, gt_valid = batch
-    variables = model.init(
-        {"params": jax.random.PRNGKey(0)},
+    init = jax.jit(
+        lambda r, im, sh, sf: model.init({"params": r}, im, sh, sf)
+    )
+    variables = init(
+        jax.random.PRNGKey(0),
         jnp.asarray(images),
         jnp.asarray(img_shapes),
         jnp.asarray(scale_factors),
@@ -29,7 +32,7 @@ def setup():
 def test_simple_test_shapes(setup):
     cfg, model, variables, batch = setup
     images, img_shapes, scale_factors, *_ = batch
-    dets = model.apply(
+    dets = jax.jit(model.apply)(
         variables,
         jnp.asarray(images),
         jnp.asarray(img_shapes),
@@ -55,15 +58,20 @@ def test_simple_test_shapes(setup):
 def test_forward_train_losses(setup):
     cfg, model, variables, batch = setup
     images, img_shapes, scale_factors, gt_boxes, gt_labels, gt_valid = batch
-    losses = model.apply(
+    train_fn = jax.jit(
+        lambda v, im, sh, gb, gl, gv, r: model.apply(
+            v, im, sh, gb, gl, gv,
+            method=model.forward_train, rngs={"sampling": r},
+        )
+    )
+    losses = train_fn(
         variables,
         jnp.asarray(images),
         jnp.asarray(img_shapes),
         jnp.asarray(gt_boxes),
         jnp.asarray(gt_labels),
         jnp.asarray(gt_valid),
-        method=model.forward_train,
-        rngs={"sampling": jax.random.PRNGKey(7)},
+        jax.random.PRNGKey(7),
     )
     expected = {
         "loss_rpn_cls", "loss_rpn_bbox", "loss_global",
@@ -99,7 +107,7 @@ def test_forward_train_grads_flow(setup):
         )
         return sum(v for k, v in losses.items() if "loss" in k)
 
-    grads = jax.grad(loss_fn)(variables["params"])
+    grads = jax.jit(jax.grad(loss_fn))(variables["params"])
     flat = jax.tree_util.tree_leaves_with_path(grads)
     assert all(np.isfinite(np.asarray(g)).all() for _, g in flat)
     by_module = {}

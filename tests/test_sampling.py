@@ -85,9 +85,9 @@ def test_sampler_layout_and_counts(rng):
     is_pos = np.asarray(res.is_pos)
     valid = np.asarray(res.valid)
     lab = np.asarray(res.labels)
-    # pos-first layout
+    # pos-first layout, capped by pos_cap
     npos = is_pos.sum()
-    assert npos >= g  # gt are always positive (self-assigned) and pos_cap >= g
+    assert 1 <= npos <= 4  # gts guarantee >= 1 positive candidate
     assert is_pos[:npos].all() and not is_pos[npos:].any()
     assert valid.all()  # plenty of negatives available
     # labels: positives carry gt classes, negatives carry background (80)
@@ -99,8 +99,10 @@ def test_sampler_layout_and_counts(rng):
     from tests.oracles import np_iou
     for i in range(npos):
         assert np_iou(rois[i : i + 1], pgt[i : i + 1])[0, 0] >= 0.5 - 1e-6
-    # gt-derived positives flagged
-    assert np.asarray(res.is_gt).sum() == g
+    # gt-derived positives are flagged (gts are candidates, not guaranteed picks)
+    is_gt = np.asarray(res.is_gt)
+    assert is_gt.sum() <= g
+    assert not is_gt[~is_pos].any()
 
 
 def test_sampler_no_gt_prepend(rng):

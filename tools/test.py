@@ -1,0 +1,41 @@
+#!/usr/bin/env python
+"""Evaluate a checkpoint on COCO val (reference tools/test.py equivalent).
+
+Usage:
+  python tools/test.py --config htd_r50_1x --checkpoint ckpt_or_pth \
+      --ann annotations/instances_val2017.json --img-root val2017
+"""
+
+import argparse
+import json
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="htd_r50_1x")
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--ann", required=True)
+    p.add_argument("--img-root", default="")
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--max-images", type=int, default=None)
+    p.add_argument("--bf16", action="store_true")
+    args = p.parse_args()
+
+    from htd_tpu import config as C
+    from htd_tpu.apis import evaluate_dataset, init_detector
+    from htd_tpu.data.coco import CocoDataset
+
+    cfg = getattr(C, args.config)()
+    if args.bf16:
+        cfg = cfg.replace(compute_dtype="bfloat16")
+    model, variables = init_detector(cfg, args.checkpoint)
+    dataset = CocoDataset(args.ann, args.img_root, test_mode=True)
+    metrics = evaluate_dataset(
+        model, variables, dataset,
+        batch_size=args.batch_size, max_images=args.max_images,
+    )
+    print(json.dumps({k: round(v, 4) for k, v in metrics.items()}))
+
+
+if __name__ == "__main__":
+    main()
