@@ -92,6 +92,82 @@ def inference_detector(
     )
 
 
+_TTA_JIT_CACHE: Dict = {}
+
+
+def aug_inference_detector(
+    model,
+    variables,
+    img_bgr: np.ndarray,
+    scales: Sequence[Tuple[int, int]] = ((1333, 800),),
+    flip: bool = True,
+):
+    """Multi-scale + flip TTA inference for one image.
+
+    Behavioral spec: MultiScaleFlipAug expansion (scales outer, [no-flip,
+    flip] inner) -> merge_aug_proposals -> per-aug cascade -> mean of
+    recovered boxes/scores -> multiclass NMS (reference aug_test path).
+    Returns (boxes, scores, labels) in original-image coordinates.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from htd_tpu.data.pipeline import bucket_shape, preprocess
+    from htd_tpu.models import tta
+
+    def jitted(name):
+        key = (id(model), id(variables), name)
+        if key not in _TTA_JIT_CACHE:
+            method = getattr(model, name)
+            _TTA_JIT_CACHE[key] = jax.jit(
+                lambda *a: model.apply(variables, *a, method=method)
+            )
+        return _TTA_JIT_CACHE[key]
+
+    landscape = img_bgr.shape[1] >= img_bgr.shape[0]
+    augs = []  # (processed, flip)
+    for scale in scales:
+        for fl in ([False, True] if flip else [False]):
+            p = preprocess(
+                img_bgr, scale=scale, bucket=bucket_shape(scale, landscape), flip=fl
+            )
+            augs.append((p, fl))
+
+    # 1) per-aug proposals, mapped back to the original frame
+    prop_b, prop_s, prop_v = [], [], []
+    for p, fl in augs:
+        boxes, scores, valid = jitted("rpn_proposals")(
+            jnp.asarray(p.image[None]), jnp.asarray(p.img_shape[None])
+        )
+        back = tta.map_back(boxes[0], jnp.asarray(p.img_shape), p.scale_factor, fl)
+        prop_b.append(back)
+        prop_s.append(scores[0])
+        prop_v.append(valid[0])
+    merged, merged_scores, merged_valid = tta.merge_aug_proposals(
+        prop_b, prop_s, prop_v, model.cfg.proposal_test
+    )
+
+    # 2) per-aug cascade on the merged proposals
+    aug_boxes, aug_scores = [], []
+    for p, fl in augs:
+        rois = tta.map_into(merged, jnp.asarray(p.img_shape), p.scale_factor, fl)
+        boxes, scores = jitted("stages_forward")(
+            jnp.asarray(p.image[None]),
+            jnp.asarray(p.img_shape[None]),
+            rois[None],
+            merged_valid[None],
+        )
+        aug_boxes.append(
+            tta.map_back(boxes[0], jnp.asarray(p.img_shape), p.scale_factor, fl)
+        )
+        aug_scores.append(scores[0])
+
+    boxes, scores = tta.merge_aug_bboxes(aug_boxes, aug_scores)
+    db, ds, dl, dv = tta.final_nms(boxes, scores, merged_valid, model.cfg.rcnn_test)
+    v = np.asarray(dv)
+    return np.asarray(db)[v], np.asarray(ds)[v], np.asarray(dl)[v]
+
+
 def evaluate_dataset(
     model,
     variables,

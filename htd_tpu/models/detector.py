@@ -217,6 +217,46 @@ class HTDDetector(nn.Module):
         return Detections(db, ds, dl, dv)
 
     # ------------------------------------------------------------------
+    # TTA pieces (reference aug_test, htd_roi_head.py:388-441)
+    # ------------------------------------------------------------------
+
+    def rpn_proposals(self, images: Array, img_shapes: Array):
+        """Proposals in the (augmented) input frame: (B,P,4), (B,P), (B,P)."""
+        feats = self.extract_feats(images)
+        rpn_scores, rpn_deltas = self.rpn_head(feats)
+        return gen_proposals(
+            rpn_scores, rpn_deltas, self.anchor_gen, img_shapes,
+            self.cfg.proposal_test,
+        )
+
+    def stages_forward(
+        self, images: Array, img_shapes: Array, rois: Array, roi_valid: Array
+    ):
+        """Both cascade stages on externally-given proposals.
+
+        Returns (decoded boxes (B,P,4) clipped to the aug frame,
+        softmax scores (B,P,C+1) averaged over the two stages)."""
+        c = self.cfg
+        feats = self.extract_feats(images)
+        feats4 = feats[: len(c.roi_extractor.featmap_strides)]
+        _, global_feat = self._global(feats)
+        s0_cls, s0_reg = self._stage0(feats4, rois, global_feat)
+        rois1 = self._refine(rois, s0_cls, s0_reg, img_shapes)
+        s1_cls, s1_reg, _ = self._stage1(
+            feats4, rois1, roi_valid, rois1, None, global_feat
+        )
+        cls_score = (s0_cls + s1_cls) / 2.0
+        coder = c.stage1_head.coder
+
+        def decode_one(r, d, shape):
+            return delta2bbox(r, d, coder.means, coder.stds, max_shape=shape)
+
+        boxes = jax.vmap(decode_one)(rois1, s1_reg, img_shapes)
+        scores = jax.nn.softmax(cls_score, axis=-1)
+        scores = jnp.where(roi_valid[..., None], scores, 0.0)
+        return boxes, scores
+
+    # ------------------------------------------------------------------
     # training
     # ------------------------------------------------------------------
 

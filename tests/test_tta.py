@@ -1,0 +1,55 @@
+"""TTA equivalence: a single identity aug must reproduce simple_test
+(the reference's test_models_aug_test.py pattern)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from htd_tpu.apis import aug_inference_detector, inference_detector, make_inference_fn
+from htd_tpu.models.detector import HTDDetector
+from tests.tiny import tiny_config
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    cfg = tiny_config()
+    model = HTDDetector(cfg)
+    init = jax.jit(lambda r, im, sh, sf: model.init({"params": r}, im, sh, sf))
+    variables = init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 64, 96, 3)),
+        jnp.asarray([[64.0, 96.0]]),
+        jnp.ones((1, 4)),
+    )
+    return model, variables
+
+
+def test_single_aug_matches_simple_test(model_and_vars, rng):
+    model, variables = model_and_vars
+    img = rng.randint(0, 255, (60, 90, 3)).astype(np.uint8)
+    scale = (96, 64)
+
+    b1, s1, l1 = inference_detector(model, variables, img, scale=scale)
+    b2, s2, l2 = aug_inference_detector(
+        model, variables, img, scales=[scale], flip=False
+    )
+    k = min(len(s1), len(s2), 5)
+    assert k > 0, "no detections at all"
+    np.testing.assert_array_equal(l1[:k], l2[:k])
+    np.testing.assert_allclose(s1[:k], s2[:k], rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(b1[:k], b2[:k], rtol=1e-3, atol=0.1)
+
+
+def test_flip_aug_runs(model_and_vars, rng):
+    model, variables = model_and_vars
+    img = rng.randint(0, 255, (60, 90, 3)).astype(np.uint8)
+    boxes, scores, labels = aug_inference_detector(
+        model, variables, img, scales=[(96, 64)], flip=True
+    )
+    assert boxes.shape[1] == 4
+    assert np.isfinite(boxes).all()
+    # boxes live in the original image frame
+    if len(boxes):
+        assert boxes[:, 2].max() <= 90 + 1e-3
+        assert boxes[:, 3].max() <= 60 + 1e-3
