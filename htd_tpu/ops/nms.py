@@ -46,8 +46,14 @@ def nms(
     scores: Array,
     iou_threshold: float,
     max_out: int,
+    tile: int = 256,
 ) -> Tuple[Array, Array, Array]:
-    """Greedy hard NMS over padded inputs.
+    """Greedy hard NMS over padded inputs (exact, TPU-friendly).
+
+    Dispatches to the blocked algorithm (sort + tile-wise suppression,
+    O(N/tile) sequential steps) for large inputs, or the simple iterative
+    argmax loop for small ones. Both are exactly equivalent to sorted
+    greedy NMS including tie-breaking by original index.
 
     Args:
       boxes: (N, 4). scores: (N,) with -inf marking invalid/padded entries.
@@ -59,6 +65,18 @@ def nms(
       keep_score: (max_out,) scores of kept boxes (-inf where invalid),
       keep_valid: (max_out,) bool.
     """
+    if boxes.shape[0] > 2 * tile:
+        return nms_blocked(boxes, scores, iou_threshold, max_out, tile)
+    return nms_argmax(boxes, scores, iou_threshold, max_out)
+
+
+def nms_argmax(
+    boxes: Array,
+    scores: Array,
+    iou_threshold: float,
+    max_out: int,
+) -> Tuple[Array, Array, Array]:
+    """Iterative-argmax greedy NMS (one sequential step per output)."""
     n = boxes.shape[0]
     scores = scores.astype(jnp.float32)
 
@@ -82,6 +100,90 @@ def nms(
         0, min(max_out, n), body, (live0, keep_idx0, keep_score0)
     )
     return keep_idx, keep_score, keep_score > NEG_INF
+
+
+def nms_blocked(
+    boxes: Array,
+    scores: Array,
+    iou_threshold: float,
+    max_out: int,
+    tile: int = 256,
+) -> Tuple[Array, Array, Array]:
+    """Exact greedy NMS via score-sorted tiles.
+
+    Algorithm (the classic TPU NMS decomposition): sort by score descending;
+    march over tiles of `tile` boxes. Each tile is first suppressed by all
+    surviving earlier boxes (one masked (tile x N) IoU test), then resolved
+    internally by iterating live' = init & ~(upper_adj^T live) to its unique
+    fixpoint (= greedy), which a while_loop reaches in a handful of steps.
+    Sequential depth is O(N/tile + fixpoint iters) instead of O(max_out).
+    """
+    n = boxes.shape[0]
+    num_tiles = (n + tile - 1) // tile
+    pad = num_tiles * tile - n
+    f32 = jnp.float32
+
+    scores = scores.astype(f32)
+    order = jnp.argsort(-scores)  # stable: ties keep original index order
+    sboxes = boxes[order].astype(f32)
+    sscores = scores[order]
+    if pad:
+        sboxes = jnp.concatenate([sboxes, jnp.zeros((pad, 4), f32)], axis=0)
+        sscores = jnp.concatenate([sscores, jnp.full((pad,), NEG_INF, f32)], axis=0)
+        order = jnp.concatenate([order, jnp.zeros((pad,), order.dtype)], axis=0)
+    nn = num_tiles * tile
+    live0 = sscores > NEG_INF
+
+    area = (sboxes[:, 2] - sboxes[:, 0]) * (sboxes[:, 3] - sboxes[:, 1])
+
+    def tile_iou(tb, ta):
+        """(tile, 4) vs (N, 4) IoU."""
+        lt = jnp.maximum(tb[:, None, :2], sboxes[None, :, :2])
+        rb = jnp.minimum(tb[:, None, 2:], sboxes[None, :, 2:])
+        wh = jnp.clip(rb - lt, 0, None)
+        inter = wh[..., 0] * wh[..., 1]
+        union = jnp.maximum(ta[:, None] + area[None, :] - inter, 1e-6)
+        return inter / union
+
+    pos = jnp.arange(nn)
+
+    def body(i, live):
+        s = i * tile
+        tb = jax.lax.dynamic_slice(sboxes, (s, 0), (tile, 4))
+        ta = jax.lax.dynamic_slice(area, (s,), (tile,))
+        tl0 = jax.lax.dynamic_slice(live0, (s,), (tile,))
+        iou = tile_iou(tb, ta)  # (tile, N)
+        adj = iou > iou_threshold
+
+        # cross-suppression by surviving earlier boxes
+        earlier = live & (pos < s)
+        sup = jnp.any(adj & earlier[None, :], axis=1)
+        init = tl0 & ~sup
+
+        # within-tile resolution to the greedy fixpoint
+        tpos = jnp.arange(tile)
+        adj_tile = jax.lax.dynamic_slice(adj, (0, s), (tile, tile))
+        upper = adj_tile & (tpos[:, None] < tpos[None, :])  # k suppresses j>k
+
+        def cond(st):
+            prev, cur = st
+            return jnp.any(prev != cur)
+
+        def step(st):
+            _, cur = st
+            nxt = init & ~jnp.any(upper & cur[:, None], axis=0)
+            return cur, nxt
+
+        _, resolved = jax.lax.while_loop(cond, step, (~init, init))
+        return jax.lax.dynamic_update_slice(live, resolved, (s,))
+
+    live = jax.lax.fori_loop(0, num_tiles, body, live0)
+
+    keep_key = jnp.where(live, sscores, NEG_INF)
+    top_s, top_i = jax.lax.top_k(keep_key, max_out)
+    keep_valid = top_s > NEG_INF
+    keep_idx = jnp.where(keep_valid, order[top_i], 0).astype(jnp.int32)
+    return keep_idx, top_s, keep_valid
 
 
 def batched_nms(

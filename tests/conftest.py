@@ -15,6 +15,11 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+import jax  # noqa: E402
+
+# this jax build defaults fp32 matmuls/convs to bf16 passes (TPU-style);
+# parity tests need true fp32
+jax.config.update("jax_default_matmul_precision", "highest")
 
 
 @pytest.fixture

@@ -102,3 +102,31 @@ def test_multiclass_nms(rng):
     np.testing.assert_array_equal(got_labels, [t[2] for t in cand])
     got_boxes = np.asarray(db)[:nv]
     np.testing.assert_allclose(got_boxes, boxes[[t[1] for t in cand]], rtol=1e-5)
+
+
+def test_blocked_nms_matches_oracle_large(rng):
+    n = 700  # > 2*tile with tile=256 path... force blocked explicitly
+    boxes = _rand_boxes(rng, n, size=300.0)
+    scores = rng.uniform(0, 1, n).astype(np.float32)
+    # inject score ties to exercise tie-breaking
+    scores[100:120] = scores[50]
+    keep_idx, keep_score, keep_valid = N.nms_blocked(
+        jnp.asarray(boxes), jnp.asarray(scores), 0.5, 256, tile=128
+    )
+    ref = np_greedy_nms(boxes, scores, 0.5)
+    got = np.asarray(keep_idx)[np.asarray(keep_valid)]
+    k = min(len(ref), 256)
+    np.testing.assert_array_equal(got[:k], ref[:k])
+
+
+def test_blocked_equals_argmax(rng):
+    n = 600
+    boxes = _rand_boxes(rng, n, size=120.0)
+    scores = rng.uniform(0, 1, n).astype(np.float32)
+    scores[::7] = -np.inf  # padded entries
+    a = N.nms_argmax(jnp.asarray(boxes), jnp.asarray(scores), 0.6, 128)
+    b = N.nms_blocked(jnp.asarray(boxes), jnp.asarray(scores), 0.6, 128, tile=64)
+    np.testing.assert_array_equal(np.asarray(a[2]), np.asarray(b[2]))
+    va = np.asarray(a[2])
+    np.testing.assert_array_equal(np.asarray(a[0])[va], np.asarray(b[0])[va])
+    np.testing.assert_allclose(np.asarray(a[1])[va], np.asarray(b[1])[va], rtol=1e-6)
