@@ -57,6 +57,33 @@ def _evaluate_img_cat(
     """Match one image/category at every IoU threshold."""
     if len(dt_boxes) == 0 and len(gt_boxes) == 0:
         return None
+
+    from htd_tpu.native import get_coco_match
+
+    native = get_coco_match()
+    if native is not None:
+        m, ig, num_gt, order = native.match_img_cat(
+            np.ascontiguousarray(dt_boxes, np.float64),
+            np.ascontiguousarray(dt_scores, np.float64),
+            np.ascontiguousarray(gt_boxes, np.float64),
+            np.ascontiguousarray(gt_crowd, np.uint8),
+            float(area_rng[0]),
+            float(area_rng[1]),
+            np.ascontiguousarray(iou_thrs, np.float64),
+        )
+        t, d = len(iou_thrs), len(dt_boxes)
+        matched = np.frombuffer(m, np.uint8).reshape(t, d).astype(bool)
+        ignored = np.frombuffer(ig, np.uint8).reshape(t, d).astype(bool)
+        sorted_scores = dt_scores[np.asarray(order, np.int64)] if d else dt_scores
+        return [
+            _ImgCatEval(
+                dt_scores=sorted_scores,
+                dt_matched=matched[ti],
+                dt_ignore=ignored[ti],
+                num_gt=int(num_gt),
+            )
+            for ti in range(t)
+        ]
     g_area = (gt_boxes[:, 2] - gt_boxes[:, 0]) * (gt_boxes[:, 3] - gt_boxes[:, 1])
     gt_ignore = gt_crowd | (g_area < area_rng[0]) | (g_area > area_rng[1])
     # sort gts ignore-last, dts score-desc (mergesort = stable, like pycocotools)

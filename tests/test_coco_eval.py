@@ -93,3 +93,40 @@ def test_duplicate_detections_penalized():
     # second det on same gt is a fp; AP = 1.0 (all recall reached at p=1.0)
     m = evaluate_coco_map(det, gt, num_classes=1)
     assert abs(m["mAP"] - 1.0) < 1e-6
+
+
+def test_native_matches_numpy_path():
+    """The C++ matching core must agree with the numpy fallback."""
+    import htd_tpu.native as native_pkg
+    from htd_tpu.data import coco_eval as ce
+
+    native = native_pkg.get_coco_match()
+    assert native is not None, "native coco_match failed to build"
+
+    rng = np.random.RandomState(3)
+    gt, det = {}, {}
+    for img in range(4):
+        g = rng.uniform(0, 200, (6, 4))
+        g[:, 2:] = g[:, :2] + rng.uniform(5, 80, (6, 2))
+        crowd = rng.uniform(0, 1, 6) > 0.8
+        gl = rng.randint(0, 3, 6)
+        gt[img] = (g, gl, crowd)
+        d = rng.uniform(0, 200, (20, 4))
+        d[:, 2:] = d[:, :2] + rng.uniform(5, 80, (20, 2))
+        # overlay some near-hits
+        d[:6] = g + rng.normal(0, 3, (6, 4))
+        det[img] = (d, rng.uniform(0, 1, 20), rng.randint(0, 3, 20))
+
+    m_native = ce.evaluate_coco_map(det, gt, num_classes=3)
+    # force the numpy path
+    native_pkg._mod, native_pkg._failed = None, True
+    try:
+        m_numpy = ce.evaluate_coco_map(det, gt, num_classes=3)
+    finally:
+        native_pkg._failed = False
+        native_pkg._mod = native
+    for k in m_native:
+        if np.isnan(m_native[k]) and np.isnan(m_numpy[k]):
+            continue
+        assert abs(m_native[k] - m_numpy[k]) < 1e-9, (k, m_native[k], m_numpy[k])
+    assert not np.isnan(m_native["mAP"])
