@@ -53,13 +53,15 @@ def make_inference_fn(model, variables):
 
     One compilation per input bucket shape (XLA caches by shape).
     """
+    import functools
+
     import jax
 
     @jax.jit
-    def fwd(images, img_shapes, scale_factors):
-        return model.apply(variables, images, img_shapes, scale_factors)
+    def fwd_v(v, images, img_shapes, scale_factors):
+        return model.apply(v, images, img_shapes, scale_factors)
 
-    return fwd
+    return functools.partial(fwd_v, variables)
 
 
 def inference_detector(
@@ -119,9 +121,12 @@ def aug_inference_detector(
         key = (id(model), id(variables), name)
         if key not in _TTA_JIT_CACHE:
             method = getattr(model, name)
-            _TTA_JIT_CACHE[key] = jax.jit(
-                lambda *a: model.apply(variables, *a, method=method)
+            jf = jax.jit(
+                lambda v, *a: model.apply(v, *a, method=method)
             )
+            import functools as _ft
+
+            _TTA_JIT_CACHE[key] = _ft.partial(jf, variables)
         return _TTA_JIT_CACHE[key]
 
     landscape = img_bgr.shape[1] >= img_bgr.shape[0]

@@ -180,6 +180,26 @@ def make_test_batch(
     )
 
 
+def sample_mstrain_scale(
+    rng: np.random.RandomState,
+    scale_range: Tuple[Tuple[int, int], Tuple[int, int]],
+    step: int = 32,
+) -> Tuple[int, int]:
+    """Multi-scale train sampling (Resize multiscale_mode='range').
+
+    Behavioral spec: reference transforms.py random_sample — the short side
+    is drawn uniformly between the two scales' short sides (HTD mstrain:
+    (1600, 400)-(1600, 1400)). We quantize to `step` so the number of
+    distinct compiled buckets stays bounded.
+    """
+    (l1, s1), (l2, s2) = scale_range
+    long_side = max(l1, l2)
+    lo, hi = min(s1, s2), max(s1, s2)
+    short = int(rng.randint(lo, hi + 1))
+    short = int(np.clip(round(short / step) * step, lo, hi))
+    return (long_side, short)
+
+
 def make_train_batch(
     dataset: CocoDataset,
     records: Sequence[ImageRecord],
@@ -188,7 +208,12 @@ def make_train_batch(
     flip_prob: float = 0.5,
     rng: Optional[np.random.RandomState] = None,
 ):
-    """Load + augment + pad a train batch. Returns dict of arrays."""
+    """Load + augment + pad a train batch. Returns dict of arrays.
+
+    One scale per batch (all images share the bucket), matching the static
+    -shape requirement; the reference samples per image, which only changes
+    the schedule of scales, not their distribution.
+    """
     rng = rng or np.random.RandomState(0)
     bucket = bucket_shape(scale, records[0].landscape)
     imgs, shapes, gtb, gtl, gtv = [], [], [], [], []

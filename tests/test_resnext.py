@@ -1,0 +1,39 @@
+"""ResNeXt grouped-conv parity + backbone construction."""
+
+import numpy as np
+import torch
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from htd_tpu.models.layers import conv
+from htd_tpu.models.resnet import ResNet
+
+
+def test_grouped_conv_matches_torch(rng):
+    groups = 8
+    tconv = torch.nn.Conv2d(32, 64, 3, padding=1, groups=groups, bias=False)
+    with torch.no_grad():
+        tconv.weight.copy_(torch.from_numpy(rng.normal(0, 0.2, (64, 4, 3, 3)).astype(np.float32)))
+    x = rng.normal(0, 1, (1, 32, 9, 11)).astype(np.float32)
+    ref = tconv(torch.from_numpy(x)).detach().numpy()
+
+    m = conv(64, 3, 1, groups=groups, use_bias=False)
+    kernel = tconv.weight.detach().numpy().transpose(2, 3, 1, 0)  # OIHW->HWIO
+    ours = m.apply({"params": {"kernel": jnp.asarray(kernel)}},
+                   jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(
+        np.asarray(ours).transpose(0, 3, 1, 2), ref, rtol=1e-4, atol=1e-4
+    )
+
+
+def test_resnext_width_and_shapes():
+    """ResNeXt-101 64x4d bottleneck widths: planes*base_width*groups/64."""
+    model = ResNet(depth=10, groups=64, base_width=4)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = jax.jit(lambda r, xx: model.init(r, xx))(jax.random.PRNGKey(0), x)
+    outs = jax.jit(lambda v, xx: model.apply(v, xx))(variables, x)
+    assert [o.shape[-1] for o in outs] == [256, 512, 1024, 2048]
+    # stage-1 conv2 operates at width 64*4*64/64 = 256 with 64 groups
+    k = variables["params"]["layer1_0"]["conv2"]["kernel"]
+    assert k.shape == (3, 3, 256 // 64, 256)

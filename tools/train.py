@@ -34,6 +34,10 @@ def parse_args():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log-interval", type=int, default=50)
     p.add_argument("--bf16", action="store_true")
+    p.add_argument(
+        "--mstrain", action="store_true",
+        help="multi-scale train: short side uniform in [400,1400], long 1600",
+    )
     return p.parse_args()
 
 
@@ -43,7 +47,12 @@ def main():
     import jax.numpy as jnp
 
     from htd_tpu import config as C
-    from htd_tpu.data.coco import CocoDataset, grouped_batches, make_train_batch
+    from htd_tpu.data.coco import (
+        CocoDataset,
+        grouped_batches,
+        make_train_batch,
+        sample_mstrain_scale,
+    )
     from htd_tpu.parallel.mesh import make_mesh, replicated, shard_pytree_batch
     from htd_tpu.train.checkpoint import (
         load_torch_checkpoint,
@@ -118,8 +127,13 @@ def main():
             grouped_batches(dataset, args.batch_size, shuffle=True,
                             seed=args.seed + epoch, drop_last=True)
         ):
+            scale = (
+                sample_mstrain_scale(rng, ((1600, 400), (1600, 1400)))
+                if args.mstrain
+                else (1333, 800)
+            )
             np_batch = make_train_batch(
-                dataset, records, max_gt=cfg.train.max_gt, rng=rng
+                dataset, records, scale=scale, max_gt=cfg.train.max_gt, rng=rng
             )
             batch = shard_pytree_batch(mesh, TrainBatch(
                 images=np_batch["images"],
