@@ -35,6 +35,11 @@ def parse_args():
     p.add_argument("--log-interval", type=int, default=50)
     p.add_argument("--bf16", action="store_true")
     p.add_argument(
+        "--multihost", action="store_true",
+        help="call jax.distributed.initialize() for multi-host training "
+             "(TPU pods; the reference's dist_train.sh/slurm equivalent)",
+    )
+    p.add_argument(
         "--mstrain", action="store_true",
         help="multi-scale train: short side uniform in [400,1400], long 1600",
     )
@@ -44,6 +49,9 @@ def parse_args():
 def main():
     args = parse_args()
     import jax
+
+    if args.multihost:
+        jax.distributed.initialize()
     import jax.numpy as jnp
 
     from htd_tpu import config as C
