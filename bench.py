@@ -39,37 +39,33 @@ def main():
     variables = init_fn(jax.random.PRNGKey(0), images, img_shapes, scale_factors)
 
     # Device-side iteration loop: the TPU is attached through a tunnel whose
-    # per-call round-trip (~30+ ms) would otherwise dominate; we run N
-    # forwards inside one jit (input perturbed per step to defeat CSE) and
-    # take the slope between two N values for a pure device-side time.
-    def run_n(n):
-        @jax.jit
-        def fn(variables, images, img_shapes, scale_factors):
-            def body(i, acc):
-                img_i = images + (i.astype(images.dtype) * 1e-9)
-                dets = model.apply(variables, img_i, img_shapes, scale_factors)
-                return (
-                    acc
-                    + jnp.sum(dets.scores)
-                    + jnp.sum(dets.boxes) * 1e-6
-                    + jnp.sum(dets.labels).astype(jnp.float32) * 1e-6
-                )
-            return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
-        return fn
+    # per-call round-trip (~30+ ms) would otherwise dominate and whose
+    # block_until_ready is a no-op; we run N forwards inside ONE compiled
+    # program (dynamic fori bound -> single compile; input perturbed per
+    # step to defeat CSE) and take the slope between two N values.
+    @jax.jit
+    def run_n(variables, images, img_shapes, scale_factors, n):
+        def body(i, acc):
+            img_i = images + (i.astype(images.dtype) * 1e-9)
+            dets = model.apply(variables, img_i, img_shapes, scale_factors)
+            return (
+                acc
+                + jnp.sum(dets.scores)
+                + jnp.sum(dets.boxes) * 1e-6
+                + jnp.sum(dets.labels).astype(jnp.float32) * 1e-6
+            )
+        return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
 
-    f1 = run_n(2)
-    fN = run_n(12)
-    # warmup / compile both
-    float(f1(variables, images, img_shapes, scale_factors))
-    float(fN(variables, images, img_shapes, scale_factors))
+    # warmup / compile (single program reused for both N values)
+    float(run_n(variables, images, img_shapes, scale_factors, 1))
 
-    def timed(f):
+    def timed(n):
         t0 = time.perf_counter()
-        float(f(variables, images, img_shapes, scale_factors))
+        float(run_n(variables, images, img_shapes, scale_factors, n))
         return time.perf_counter() - t0
 
-    t_small = min(timed(f1) for _ in range(3))
-    t_big = min(timed(fN) for _ in range(3))
+    t_small = min(timed(2) for _ in range(3))
+    t_big = min(timed(12) for _ in range(3))
     per_image = (t_big - t_small) / 10.0
     ips = 1.0 / per_image
 

@@ -23,7 +23,7 @@ import flax.linen as nn
 
 from htd_tpu.config import RoIExtractorConfig
 from htd_tpu.ops.boxes import map_roi_levels
-from htd_tpu.ops.roi_align import roi_align, roi_align_multilevel
+from htd_tpu.ops.roi_align import roi_align, roi_align_pyramid
 
 Array = jnp.ndarray
 
@@ -35,7 +35,7 @@ def single_roi_extract(
 ) -> Array:
     """Level-mapped RoIAlign. feats: per-level (H,W,C); rois (R,4) -> (R,7,7,C)."""
     lvls = map_roi_levels(rois, len(cfg.featmap_strides), cfg.finest_scale)
-    return roi_align_multilevel(
+    return roi_align_pyramid(
         feats,
         rois,
         cfg.featmap_strides,
@@ -67,7 +67,7 @@ class AdptRoIExtractor(nn.Module):
                 spatial_scale=1.0 / stride,
                 out_size=self.cfg.out_size,
                 sampling_ratio=self.cfg.sampling_ratio,
-                max_samples=self.cfg.max_samples,
+                max_samples=self.cfg.adpt_max_samples,
             )
             rf = jax.vmap(align)(feats[lvl], rois)  # (B, R, 7, 7, C)
             per_level.append(rf)

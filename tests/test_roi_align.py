@@ -93,3 +93,22 @@ def test_roi_align_batched_vmap(rng):
     for b in range(2):
         ref = np_roi_align(feat[b], rois[b], 1.0, 7, 0)
         np.testing.assert_allclose(np.asarray(out[b]), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_pyramid_equals_dense_multilevel(rng):
+    from htd_tpu.ops.roi_align import roi_align_pyramid
+
+    strides = (4, 8, 16, 32)
+    feats = [
+        _feat(rng, 64 // (2 ** i), 96 // (2 ** i), 8) for i in range(4)
+    ]
+    rois = np.zeros((40, 4), np.float32)
+    rois[:, 0] = rng.uniform(-20, 300, 40)
+    rois[:, 1] = rng.uniform(-20, 200, 40)
+    rois[:, 2] = rois[:, 0] + rng.uniform(5, 400, 40)
+    rois[:, 3] = rois[:, 1] + rng.uniform(5, 400, 40)
+    lvls = map_roi_levels(jnp.asarray(rois), 4)
+    jf = [jnp.asarray(f) for f in feats]
+    dense = roi_align_multilevel(jf, jnp.asarray(rois), strides, lvls, 7, 0, 4)
+    pyr = roi_align_pyramid(jf, jnp.asarray(rois), strides, lvls, 7, 0, 4)
+    np.testing.assert_allclose(np.asarray(pyr), np.asarray(dense), rtol=1e-5, atol=1e-6)

@@ -40,28 +40,26 @@ def test_train_step_updates_and_freezing():
         cfg, jax.random.PRNGKey(0), batch, steps_per_epoch=10
     )
     step = make_jitted_train_step(model, tx)
+    # snapshot BEFORE the step: the jitted step donates the input state
+    p0 = state.params["backbone"]
+    before = {
+        "conv1": np.asarray(p0["conv1"]["kernel"]),
+        "l1": np.asarray(p0["layer1_0"]["conv1"]["kernel"]),
+        "l2": np.asarray(p0["layer2_0"]["conv1"]["kernel"]),
+        "rpn": np.asarray(state.params["rpn_head"]["rpn_conv"]["kernel"]),
+    }
     state1, metrics = step(state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["loss"]))
     for k in ["loss_rpn_cls", "s0.loss_cls", "s1.loss_cls", "loss_global"]:
         assert np.isfinite(float(metrics[k]))
     # frozen: stem + layer1 params unchanged
-    p0 = state.params["backbone"]
     p1 = state1.params["backbone"]
-    np.testing.assert_array_equal(
-        np.asarray(p0["conv1"]["kernel"]), np.asarray(p1["conv1"]["kernel"])
-    )
-    np.testing.assert_array_equal(
-        np.asarray(p0["layer1_0"]["conv1"]["kernel"]),
-        np.asarray(p1["layer1_0"]["conv1"]["kernel"]),
-    )
+    np.testing.assert_array_equal(before["conv1"], np.asarray(p1["conv1"]["kernel"]))
+    np.testing.assert_array_equal(before["l1"], np.asarray(p1["layer1_0"]["conv1"]["kernel"]))
     # trainable: layer2+ and heads changed
+    assert not np.array_equal(before["l2"], np.asarray(p1["layer2_0"]["conv1"]["kernel"]))
     assert not np.array_equal(
-        np.asarray(p0["layer2_0"]["conv1"]["kernel"]),
-        np.asarray(p1["layer2_0"]["conv1"]["kernel"]),
-    )
-    assert not np.array_equal(
-        np.asarray(state.params["rpn_head"]["rpn_conv"]["kernel"]),
-        np.asarray(state1.params["rpn_head"]["rpn_conv"]["kernel"]),
+        before["rpn"], np.asarray(state1.params["rpn_head"]["rpn_conv"]["kernel"])
     )
 
 

@@ -13,7 +13,11 @@ from tests.tiny import tiny_config
 
 @pytest.fixture(scope="module")
 def model_and_vars():
-    cfg = tiny_config()
+    from htd_tpu.config import RCNNTestConfig
+
+    # random-init softmax scores hover around 1/81 < 0.05; lower the
+    # threshold so there are detections to compare
+    cfg = tiny_config(rcnn_test=RCNNTestConfig(score_thr=0.003, max_per_img=10))
     model = HTDDetector(cfg)
     init = jax.jit(lambda r, im, sh, sf: model.init({"params": r}, im, sh, sf))
     variables = init(

@@ -1,8 +1,13 @@
 #!/usr/bin/env python
-"""Throughput benchmark (reference tools/benchmark.py protocol: warmup 5,
-single-image batches, steady-state fps).
+"""Throughput benchmark (reference tools/benchmark.py protocol).
 
-Usage: python tools/benchmark.py [--config htd_r50_1x] [--iters 200] [--bf16]
+Timing method: N model iterations inside ONE compiled program (dynamic
+fori bound), slope between two N values — robust to the tunnel's per-call
+round-trip and its no-op block_until_ready (see bench.py).
+
+Usage:
+  python tools/benchmark.py [--config htd_r50_1x] [--bf16]          # inference
+  python tools/benchmark.py --train --batch-size 2 [--bf16]          # train step
 """
 
 import argparse
@@ -12,11 +17,21 @@ import time
 import numpy as np
 
 
+def _slope_time(run_n, n_small=2, n_big=12, repeats=3):
+    float(run_n(1))  # compile + warmup
+    def timed(n):
+        t0 = time.perf_counter()
+        float(run_n(n))
+        return time.perf_counter() - t0
+    t_small = min(timed(n_small) for _ in range(repeats))
+    t_big = min(timed(n_big) for _ in range(repeats))
+    return (t_big - t_small) / (n_big - n_small)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="htd_r50_1x")
     p.add_argument("--checkpoint", default=None)
-    p.add_argument("--iters", type=int, default=200)
     p.add_argument("--batch-size", type=int, default=1)
     p.add_argument("--height", type=int, default=768)
     p.add_argument("--width", type=int, default=1344)
@@ -28,12 +43,11 @@ def main():
     import jax.numpy as jnp
 
     from htd_tpu import config as C
-    from htd_tpu.apis import init_detector, make_inference_fn
+    from htd_tpu.apis import init_detector
 
     cfg = getattr(C, args.config)()
     if args.bf16:
         cfg = cfg.replace(compute_dtype="bfloat16")
-    model, variables = init_detector(cfg, args.checkpoint)
 
     rng = np.random.RandomState(0)
     b, h, w = args.batch_size, args.height, args.width
@@ -41,24 +55,59 @@ def main():
     shapes = jnp.asarray(np.tile([[h - 18.0, w - 11.0]], (b, 1)).astype(np.float32))
     sfs = jnp.ones((b, 4), jnp.float32)
 
-    fwd = make_inference_fn(model, variables)
-    out = fwd(images, shapes, sfs)
-    jax.block_until_ready(out)
-    for _ in range(5):
-        out = fwd(images, shapes, sfs)
-    jax.block_until_ready(out)
+    if not args.train:
+        model, variables = init_detector(cfg, args.checkpoint)
 
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
-        out = fwd(images, shapes, sfs)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    ips = args.iters * b / dt
+        @jax.jit
+        def run_iters(v, im, sh, sf, n):
+            def body(i, acc):
+                dets = model.apply(v, im + i.astype(im.dtype) * 1e-9, sh, sf)
+                return acc + jnp.sum(dets.scores)
+            return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
+
+        per_iter = _slope_time(lambda n: run_iters(variables, images, shapes, sfs, n))
+        mode = "inference"
+    else:
+        from htd_tpu.train.train_step import TrainBatch, create_train_state, train_step
+
+        max_gt = cfg.train.max_gt
+        gt_boxes = np.zeros((b, max_gt, 4), np.float32)
+        gt_valid = np.zeros((b, max_gt), bool)
+        gt_labels = np.zeros((b, max_gt), np.int32)
+        for i in range(b):
+            for g in range(8):
+                x1, y1 = rng.uniform(0, w - 80), rng.uniform(0, h - 80)
+                gt_boxes[i, g] = [x1, y1, x1 + rng.uniform(30, 70), y1 + rng.uniform(30, 70)]
+                gt_labels[i, g] = rng.randint(0, cfg.num_classes)
+                gt_valid[i, g] = True
+        batch = TrainBatch(
+            images=images, img_shapes=shapes,
+            gt_boxes=jnp.asarray(gt_boxes), gt_labels=jnp.asarray(gt_labels),
+            gt_valid=jnp.asarray(gt_valid),
+        )
+        model, state, tx = create_train_state(
+            cfg, jax.random.PRNGKey(0), batch, steps_per_epoch=1000
+        )
+
+        @jax.jit
+        def run_iters(state, batch, n):
+            def body(i, st):
+                b2 = batch._replace(images=batch.images + i.astype(batch.images.dtype) * 1e-9)
+                st2, _ = train_step(model, tx, st, b2, jax.random.PRNGKey(0))
+                return st2
+            out = jax.lax.fori_loop(0, n, body, state)
+            return out.params["rpn_head"]["rpn_conv"]["kernel"].sum()
+
+        per_iter = _slope_time(lambda n: run_iters(state, batch, n), n_big=8)
+        mode = "train"
+
+    ips = b / per_iter
     print(json.dumps({
         "config": args.config,
+        "mode": mode,
         "batch": b, "hw": [h, w],
         "images_per_sec": round(ips, 3),
-        "ms_per_image": round(1000 * dt / (args.iters * b), 3),
+        "ms_per_iter": round(1000 * per_iter, 3),
     }))
 
 
