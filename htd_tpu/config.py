@@ -136,6 +136,9 @@ class RoIExtractorConfig:
     out_size: int = 7
     sampling_ratio: int = 0              # 0 = adaptive (mmcv semantics)
     max_samples: int = 4                 # static clamp of the adaptive grid
+    # "auto": Pallas window kernel on TPU, XLA pyramid-gather on CPU;
+    # "pallas" / "gather" force one implementation.
+    impl: str = "auto"
     # The BA extractor aligns every roi on every level; its off-level samples
     # are inherently approximate (the true adaptive grid would be up to ~48),
     # so it gets a lower clamp — 4x less gather traffic on the hot path.

@@ -35,6 +35,21 @@ def single_roi_extract(
 ) -> Array:
     """Level-mapped RoIAlign. feats: per-level (H,W,C); rois (R,4) -> (R,7,7,C)."""
     lvls = map_roi_levels(rois, len(cfg.featmap_strides), cfg.finest_scale)
+    impl = cfg.impl
+    if impl == "auto":
+        impl = "gather" if jax.default_backend() == "cpu" else "pallas"
+    if impl == "pallas":
+        from htd_tpu.ops.roi_align_pallas import roi_align_fused
+
+        return roi_align_fused(
+            feats,
+            rois,
+            cfg.featmap_strides,
+            lvls,
+            out_size=cfg.out_size,
+            sampling_ratio=cfg.sampling_ratio,
+            max_samples=cfg.max_samples,
+        )
     return roi_align_pyramid(
         feats,
         rois,

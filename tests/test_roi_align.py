@@ -112,3 +112,25 @@ def test_pyramid_equals_dense_multilevel(rng):
     dense = roi_align_multilevel(jf, jnp.asarray(rois), strides, lvls, 7, 0, 4)
     pyr = roi_align_pyramid(jf, jnp.asarray(rois), strides, lvls, 7, 0, 4)
     np.testing.assert_allclose(np.asarray(pyr), np.asarray(dense), rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_fused_interpret_equals_pyramid(rng):
+    """Pallas window kernel (interpret mode) == pyramid gather, incl. the
+    elongated-roi fallback path."""
+    from htd_tpu.ops.roi_align_pallas import roi_align_fused
+    from htd_tpu.ops.roi_align import roi_align_pyramid
+
+    strides = (4, 8, 16, 32)
+    feats = [
+        jnp.asarray(rng.normal(0, 1, (64 // (2 ** i), 96 // (2 ** i), 8)).astype(np.float32))
+        for i in range(4)
+    ]
+    rois = np.zeros((16, 4), np.float32)
+    rois[:, 0] = rng.uniform(-20, 350, 16)
+    rois[:, 1] = rng.uniform(-20, 200, 16)
+    rois[:, 2] = rois[:, 0] + rng.uniform(5, 300, 16)
+    rois[:, 3] = rois[:, 1] + rng.uniform(5, 300, 16)
+    lvls = map_roi_levels(jnp.asarray(rois), 4)
+    p = roi_align_pyramid(feats, jnp.asarray(rois), strides, lvls, 7, 0, 4)
+    k = roi_align_fused(feats, jnp.asarray(rois), strides, lvls, 7, 0, 4, interpret=True)
+    np.testing.assert_allclose(np.asarray(k), np.asarray(p), rtol=1e-4, atol=1e-5)
