@@ -143,6 +143,31 @@ def roi_align_pallas(
         jnp.floor(x_lo / X_BLOCK), 0.0, (w_pad - WIN_W) / X_BLOCK
     ).astype(jnp.int32)
 
+    if interpret:
+        # interpret mode doesn't support scalar-prefetch grids; emulate the
+        # kernel math (same window + tent-matrix formulation) in pure jnp
+        def one(yb, xb, st_h, st_w, b_h, b_w, g_h, g_w, s_h, s_w, ro):
+            y_origin = yb.astype(f32) * Y_BLOCK
+            x_origin = xb.astype(f32) * X_BLOCK
+            win = jax.lax.dynamic_slice(
+                pyr,
+                (yb * Y_BLOCK, xb * X_BLOCK, 0),
+                (WIN_H, WIN_W, c),
+            )
+            ay = _interp_matrix(st_h, b_h, g_h, s_h, y_origin - ro, WIN_H, out_size, s_max)
+            ax = _interp_matrix(st_w, b_w, g_w, s_w, x_origin, WIN_W, out_size, s_max)
+            count = jnp.maximum(g_h * g_w, 1.0)
+            wf = win.reshape(WIN_H, WIN_W * c).astype(f32)
+            tmp = jnp.dot(ay, wf).reshape(out_size, WIN_W, c)
+            out = jnp.einsum("xp,ypc->yxc", ax, tmp) / count
+            return out.astype(feats[0].dtype)
+
+        return jax.lax.map(
+            lambda t: one(*t),
+            (yblk, xblk, start_h, start_w, bin_h, bin_w,
+             grid_h, grid_w, hs, ws, row_off),
+        )
+
     params = jnp.stack(
         [start_h, start_w, bin_h, bin_w, grid_h, grid_w, hs, ws, row_off],
         axis=1,

@@ -55,7 +55,8 @@ def trainable_mask(params, frozen_stages: int = 1):
 
 
 def make_optimizer(cfg: TrainConfig, params, steps_per_epoch: int):
-    """torch-SGD-equivalent chain: wd -> momentum -> lr, masked by freezing."""
+    """torch-SGD-equivalent chain: clip -> wd -> momentum -> -lr; frozen
+    leaves (stem + frozen stages) get zero updates via multi_transform."""
     mask = trainable_mask(params)
     chain = [optax.add_decayed_weights(cfg.weight_decay)]
     if cfg.grad_clip_norm and cfg.grad_clip_norm > 0:
@@ -64,4 +65,9 @@ def make_optimizer(cfg: TrainConfig, params, steps_per_epoch: int):
     chain.append(optax.trace(decay=cfg.momentum, nesterov=False))
     chain.append(optax.scale_by_schedule(lambda s: -lr_schedule(cfg, steps_per_epoch)(s)))
     tx = optax.chain(*chain)
-    return optax.masked(tx, mask)
+    labels = jax.tree_util.tree_map(
+        lambda trainable: "train" if trainable else "frozen", mask
+    )
+    return optax.multi_transform(
+        {"train": tx, "frozen": optax.set_to_zero()}, labels
+    )

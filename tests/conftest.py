@@ -6,16 +6,15 @@ no distributed tests at all — see SURVEY.md §4; we add them).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 import jax  # noqa: E402
+
+# This machine pins JAX_PLATFORMS=axon (remote TPU tunnel); the env var is
+# ignored, so force the platform through the config API. Without this,
+# "CPU" tests dispatch op-by-op over the tunnel (~30ms RTT per op).
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 # this jax build defaults fp32 matmuls/convs to bf16 passes (TPU-style);
 # parity tests need true fp32
