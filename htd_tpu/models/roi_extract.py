@@ -23,7 +23,7 @@ import flax.linen as nn
 
 from htd_tpu.config import RoIExtractorConfig
 from htd_tpu.ops.boxes import map_roi_levels
-from htd_tpu.ops.roi_align import roi_align, roi_align_pyramid
+from htd_tpu.ops.roi_align import roi_align, roi_align_pyramid  # noqa: F401
 
 Array = jnp.ndarray
 
