@@ -5,6 +5,10 @@ Usage: python tools/analyze_logs.py work_dirs/htd/train.log.json --keys loss s0.
 """
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import json
 
 

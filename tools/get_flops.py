@@ -5,6 +5,10 @@ Usage: python tools/get_flops.py [--config htd_r50_1x] [--height 768 --width 134
 """
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

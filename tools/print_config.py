@@ -2,6 +2,10 @@
 """Print a resolved config (reference tools/print_config.py equivalent)."""
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import dataclasses
 import json
 
