@@ -39,9 +39,9 @@ def single_roi_extract(
     if impl == "auto":
         impl = "gather" if jax.default_backend() == "cpu" else "pallas"
     if impl == "pallas":
-        from htd_tpu.ops.roi_align_pallas import roi_align_fused
+        from htd_tpu.ops.roi_align_pallas import roi_align_fused_trainable
 
-        return roi_align_fused(
+        return roi_align_fused_trainable(
             feats,
             rois,
             cfg.featmap_strides,

@@ -306,3 +306,53 @@ def roi_align_fused(
     )
     patched = jnp.where(sel_valid[:, None, None, None], sub, out[idx])
     return out.at[idx].set(patched.astype(out.dtype))
+
+
+@functools.lru_cache(maxsize=None)
+def _trainable_fused(strides, out_size, sampling_ratio, max_samples, interpret):
+    """custom_vjp wrapper: Pallas forward, XLA-pyramid backward.
+
+    The Pallas kernel has no autodiff rule; gradients only flow into the
+    FEATURES (rois are index-like, matching mmcv RoIAlign which defines no
+    roi gradient), so the backward pass reuses the mathematically identical
+    gather formulation's VJP.
+    """
+    from htd_tpu.ops.roi_align import roi_align_pyramid as pyramid
+
+    @jax.custom_vjp
+    def fn(feats, rois, target_lvls):
+        return roi_align_fused(
+            list(feats), rois, strides, target_lvls,
+            out_size=out_size, sampling_ratio=sampling_ratio,
+            max_samples=max_samples, interpret=interpret,
+        )
+
+    def fwd(feats, rois, target_lvls):
+        return fn(feats, rois, target_lvls), (feats, rois, target_lvls)
+
+    def bwd(res, g):
+        feats, rois, target_lvls = res
+        _, vjp = jax.vjp(
+            lambda fs: pyramid(
+                list(fs), rois, strides, target_lvls,
+                out_size=out_size, sampling_ratio=sampling_ratio,
+                max_samples=max_samples,
+            ),
+            feats,
+        )
+        (dfeats,) = vjp(g.astype(feats[0].dtype))
+        return dfeats, None, None
+
+    fn.defvjp(fwd, bwd)
+    return fn
+
+
+def roi_align_fused_trainable(
+    feats, rois, strides, target_lvls,
+    out_size=7, sampling_ratio=0, max_samples=4, interpret=False,
+):
+    """Differentiable (w.r.t. features) fused RoIAlign."""
+    fn = _trainable_fused(
+        tuple(strides), out_size, sampling_ratio, max_samples, interpret
+    )
+    return fn(tuple(feats), rois, target_lvls)

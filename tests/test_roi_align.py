@@ -134,3 +134,36 @@ def test_pallas_fused_interpret_equals_pyramid(rng):
     p = roi_align_pyramid(feats, jnp.asarray(rois), strides, lvls, 7, 0, 4)
     k = roi_align_fused(feats, jnp.asarray(rois), strides, lvls, 7, 0, 4, interpret=True)
     np.testing.assert_allclose(np.asarray(k), np.asarray(p), rtol=1e-4, atol=1e-5)
+
+
+def test_trainable_fused_grad_matches_pyramid(rng):
+    """custom_vjp backward (pyramid) == autodiff of the pyramid math."""
+    from htd_tpu.ops.roi_align import roi_align_pyramid
+    from htd_tpu.ops.roi_align_pallas import roi_align_fused_trainable
+
+    strides = (4, 8)
+    feats = [
+        jnp.asarray(rng.normal(0, 1, (16, 24, 4)).astype(np.float32)),
+        jnp.asarray(rng.normal(0, 1, (8, 12, 4)).astype(np.float32)),
+    ]
+    rois = np.zeros((5, 4), np.float32)
+    rois[:, 0] = rng.uniform(0, 50, 5)
+    rois[:, 1] = rng.uniform(0, 30, 5)
+    rois[:, 2] = rois[:, 0] + rng.uniform(10, 40, 5)
+    rois[:, 3] = rois[:, 1] + rng.uniform(10, 30, 5)
+    lvls = map_roi_levels(jnp.asarray(rois), 2)
+
+    def loss_fused(fs):
+        out = roi_align_fused_trainable(
+            fs, jnp.asarray(rois), strides, lvls, 7, 0, 2, interpret=True
+        )
+        return jnp.sum(out ** 2)
+
+    def loss_pyr(fs):
+        out = roi_align_pyramid(list(fs), jnp.asarray(rois), strides, lvls, 7, 0, 2)
+        return jnp.sum(out ** 2)
+
+    g1 = jax.grad(loss_fused)(tuple(feats))
+    g2 = jax.grad(loss_pyr)(tuple(feats))
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
