@@ -73,8 +73,13 @@ class AdptRoIExtractor(nn.Module):
         att_conv1 = nn.Dense(128, dtype=self.dtype, name="att_conv1")
         att_conv2 = nn.Dense(1, dtype=self.dtype, name="att_conv2")
 
+        # NOTE: the windowed Pallas kernel is a measured NO-WIN here (see
+        # PERF.md): a large roi sampling a finer level intrinsically exceeds
+        # any bounded window, so ~20% of (roi, level) pairs fall back to the
+        # gather anyway. The XLA pyramid-gather at S=2 stays the fastest
+        # correct implementation for the all-level pattern.
+        num_levels = len(self.cfg.featmap_strides)
         per_level = []
-        att_logits = []
         for lvl, stride in enumerate(self.cfg.featmap_strides):
             align = lambda f, r: roi_align(  # noqa: E731
                 f,
@@ -86,7 +91,10 @@ class AdptRoIExtractor(nn.Module):
             )
             rf = jax.vmap(align)(feats[lvl], rois)  # (B, R, 7, 7, C)
             per_level.append(rf)
-            pooled = rf.mean(axis=(2, 3))  # GAP -> (B, R, C)
+
+        att_logits = []
+        for lvl in range(num_levels):
+            pooled = per_level[lvl].mean(axis=(2, 3))  # GAP -> (B, R, C)
             a = att_conv2(jnp.tanh(att_conv1(pooled)))  # (B, R, 1)
             att_logits.append(a[..., 0])
 

@@ -71,10 +71,31 @@ def _interp_matrix(start, bin_size, grid, size, origin, p_dim, out_size, s_max):
     return jnp.sum(tent, axis=1)  # (out_size, p_dim)
 
 
-def _build_pyramid(feats):
+def _window_sort_order(feats, rois, strides, target_lvls):
+    """Sort key = (yblk, xblk) of each roi's window — maximizes consecutive
+    block reuse in the pipeline."""
+    f32 = jnp.float32
+    scales = jnp.asarray([1.0 / s for s in strides], f32)[target_lvls]
+    start_h = rois[:, 1].astype(f32) * scales - 0.5
+    start_w = rois[:, 0].astype(f32) * scales - 0.5
+    hs = jnp.asarray([float(f.shape[0]) for f in feats], f32)[target_lvls]
+    ws = jnp.asarray([float(f.shape[1]) for f in feats], f32)[target_lvls]
+    offs = np.concatenate([[0], np.cumsum([int(f.shape[0]) for f in feats])])[:-1]
+    row_off = jnp.asarray(offs.astype(np.float32))[target_lvls]
+    y_lo = jnp.clip(jnp.floor(jnp.maximum(start_h, 0.0)), 0.0, jnp.maximum(hs - 1, 0.0))
+    x_lo = jnp.clip(jnp.floor(jnp.maximum(start_w, 0.0)), 0.0, jnp.maximum(ws - 1, 0.0))
+    yblk = jnp.floor((row_off + y_lo) / Y_BLOCK)
+    xblk = jnp.floor(x_lo / X_BLOCK)
+    key = yblk * 1024.0 + xblk
+    return jnp.argsort(key)
+
+
+def _build_pyramid(feats, win_h=None, win_w=None):
     """Row-concatenate levels into (rows, W_pad, C); returns (pyr, offsets)."""
+    win_h = WIN_H if win_h is None else win_h
+    win_w = WIN_W if win_w is None else win_w
     c = feats[0].shape[-1]
-    w_pad = max(WIN_W + X_BLOCK, max(int(f.shape[1]) for f in feats))
+    w_pad = max(win_w + X_BLOCK, max(int(f.shape[1]) for f in feats))
     w_pad = (w_pad + X_BLOCK - 1) // X_BLOCK * X_BLOCK
     parts = []
     offsets = [0]
@@ -83,7 +104,7 @@ def _build_pyramid(feats):
         parts.append(jnp.pad(f, ((0, 0), (0, w_pad - w), (0, 0))))
         offsets.append(offsets[-1] + h)
     rows = offsets[-1]
-    rows_pad = (rows + WIN_H + Y_BLOCK - 1) // Y_BLOCK * Y_BLOCK
+    rows_pad = (rows + win_h + Y_BLOCK - 1) // Y_BLOCK * Y_BLOCK
     pyr = jnp.concatenate(parts, axis=0)
     pyr = jnp.pad(pyr, ((0, rows_pad - rows), (0, 0), (0, 0)))
     return pyr, offsets[:-1], w_pad, rows_pad
@@ -98,14 +119,35 @@ def roi_align_pallas(
     sampling_ratio: int = 0,
     max_samples: int = 4,
     interpret: bool = False,
+    sort_rois: bool = True,
 ) -> Array:
-    """Level-dispatched RoIAlign over a 40x128 px window per roi.
+    """Level-dispatched RoIAlign over a 56x128 px window per roi.
 
     Same contract as roi_align_pyramid for rois whose sampled extent fits
-    the window (y extent <= 32, x extent <= 56 px at the mapped level —
+    the window (y extent <= 46, x extent <= 62 px at the mapped level —
     always true for non-elongated level-mapped rois); use roi_align_fused
     for automatic fallback on the rest.
+
+    sort_rois: process rois in window-block order so the pipeline's
+    revolving buffers skip re-fetching identical consecutive blocks
+    (rois cluster heavily on the fine levels); results are scattered back
+    to the input order.
     """
+    if sort_rois:
+        order = _window_sort_order(feats, rois, strides, target_lvls)
+        out = roi_align_pallas(
+            [f for f in feats],
+            rois[order],
+            strides,
+            target_lvls[order],
+            out_size=out_size,
+            sampling_ratio=sampling_ratio,
+            max_samples=max_samples,
+            interpret=interpret,
+            sort_rois=False,
+        )
+        inv = jnp.argsort(order)
+        return out[inv]
     c = feats[0].shape[-1]
     r = rois.shape[0]
     f32 = jnp.float32
@@ -259,6 +301,280 @@ def roi_align_pallas(
         out_shape=jax.ShapeDtypeStruct((r, out_size, out_size, c), feats[0].dtype),
         interpret=interpret,
     )(yblk, xblk, params, *([pyr] * (Y_STRIPS * X_BLOCKS)))
+
+
+def adpt_align_pallas(
+    feats: Sequence[Array],
+    rois: Array,
+    strides: Sequence[int],
+    out_size: int = 7,
+    sampling_ratio: int = 0,
+    max_samples: int = 2,
+    interpret: bool = False,
+    fallback_cap: int = 384,
+    y_strips: int = 5,
+    x_blocks: int = 2,
+) -> Array:
+    """EXPERIMENTAL — measured no-win for the BA extractor (kept for study).
+
+    Every-roi-on-every-level alignment cannot be window-bounded: a large roi
+    sampling a finer level intrinsically exceeds any fixed window, so the
+    fallback volume (~20% of pairs at COCO distributions) cancels the
+    kernel's gains (22.7 ms kernel + ~7 ms fallback vs 26-35 ms pure gather).
+    The production path (models/roi_extract.AdptRoIExtractor) uses the XLA
+    pyramid gather at S=2. See PERF.md.
+
+    Every-roi-on-every-level RoIAlign (the BA/Adpt extractor's pattern).
+
+    One grid step per roi fetches ALL levels' windows (L x Y_STRIPS x
+    X_BLOCKS pipeline blocks) and emits (L, 7, 7, C) — replacing L separate
+    gather passes. (roi, level) pairs whose extent exceeds the window
+    (common when sampling a large roi on a finer level) are recomputed by
+    the XLA pyramid gather on a fixed-capacity sub-batch and scattered in.
+
+    Returns (R, L, 7, 7, C).
+    """
+    from htd_tpu.ops.roi_align import roi_align_pyramid
+
+    Y_STRIPS, X_BLOCKS = y_strips, x_blocks  # noqa: N806 (shadow module consts)
+    WIN_H, WIN_W = Y_STRIPS * Y_BLOCK, X_BLOCKS * X_BLOCK  # noqa: N806
+
+    c = feats[0].shape[-1]
+    r = rois.shape[0]
+    L = len(feats)
+    f32 = jnp.float32
+    pyr, offsets, w_pad, rows_pad = _build_pyramid(feats, WIN_H, WIN_W)
+
+    rois = rois.astype(f32)
+    if sampling_ratio > 0:
+        s_max = sampling_ratio
+    else:
+        s_max = max_samples
+
+    # per (roi, level) params
+    scl = jnp.asarray([1.0 / s for s in strides], f32)  # (L,)
+    start_w = rois[:, 0:1] * scl[None, :] - 0.5   # (R, L)
+    start_h = rois[:, 1:2] * scl[None, :] - 0.5
+    bin_w = (rois[:, 2:3] - rois[:, 0:1]) * scl[None, :] / out_size
+    bin_h = (rois[:, 3:4] - rois[:, 1:2]) * scl[None, :] / out_size
+    if sampling_ratio > 0:
+        grid_w = jnp.full((r, L), sampling_ratio, f32)
+        grid_h = jnp.full((r, L), sampling_ratio, f32)
+    else:
+        grid_w = jnp.clip(jnp.ceil(bin_w), 0, s_max)
+        grid_h = jnp.clip(jnp.ceil(bin_h), 0, s_max)
+    hs = jnp.asarray([float(f.shape[0]) for f in feats], f32)[None, :]
+    ws = jnp.asarray([float(f.shape[1]) for f in feats], f32)[None, :]
+    row_off = jnp.asarray(
+        np.asarray(offsets, np.float32)
+    )[None, :]
+
+    y_lo = jnp.clip(jnp.floor(jnp.maximum(start_h, 0.0)), 0.0, jnp.maximum(hs - 1, 0.0))
+    x_lo = jnp.clip(jnp.floor(jnp.maximum(start_w, 0.0)), 0.0, jnp.maximum(ws - 1, 0.0))
+    yblk = jnp.clip(
+        jnp.floor((row_off + y_lo) / Y_BLOCK), 0.0, (rows_pad - WIN_H) / Y_BLOCK
+    ).astype(jnp.int32)   # (R, L)
+    xblk = jnp.clip(
+        jnp.floor(x_lo / X_BLOCK), 0.0, (w_pad - WIN_W) / X_BLOCK
+    ).astype(jnp.int32)
+
+    # params row: per level 9 values, L*9 <= 128 for L <= 14
+    per_level = jnp.stack(
+        [start_h, start_w, bin_h, bin_w, grid_h, grid_w, hs * jnp.ones((r, L)),
+         ws * jnp.ones((r, L)),
+         (yblk.astype(f32) * Y_BLOCK) - row_off,  # window origin in level coords
+         ],
+        axis=2,
+    )  # (R, L, 9)
+    params = per_level.reshape(r, L * 9)
+    params = jnp.concatenate(
+        [params, xblk.astype(f32) * X_BLOCK], axis=1
+    )  # (R, L*9 + L)
+    params = jnp.pad(params, ((0, 0), (0, 128 - params.shape[1])))[:, None, :]
+
+    def kernel(yblk_ref, xblk_ref, params_ref, *refs):
+        del yblk_ref, xblk_ref
+        blocks = refs[: L * Y_STRIPS * X_BLOCKS]
+        out_ref = refs[L * Y_STRIPS * X_BLOCKS]
+        for l in range(L):
+            base = l * 9
+            sth = params_ref[0, 0, base + 0]
+            stw = params_ref[0, 0, base + 1]
+            bh = params_ref[0, 0, base + 2]
+            bw = params_ref[0, 0, base + 3]
+            gh = params_ref[0, 0, base + 4]
+            gw = params_ref[0, 0, base + 5]
+            size_h = params_ref[0, 0, base + 6]
+            size_w = params_ref[0, 0, base + 7]
+            y_origin_lvl = params_ref[0, 0, base + 8]
+            x_origin = params_ref[0, 0, L * 9 + l]
+
+            rows = []
+            for ky in range(Y_STRIPS):
+                cols = [
+                    blocks[(l * Y_STRIPS + ky) * X_BLOCKS + kx][:]
+                    for kx in range(X_BLOCKS)
+                ]
+                rows.append(jnp.concatenate(cols, axis=1))
+            win = jnp.concatenate(rows, axis=0)
+
+            ay = _interp_matrix(sth, bh, gh, size_h, y_origin_lvl, WIN_H, out_size, s_max)
+            ax = _interp_matrix(stw, bw, gw, size_w, x_origin, WIN_W, out_size, s_max)
+            count = jnp.maximum(gh * gw, 1.0)
+            wf = win.reshape(WIN_H, WIN_W * c).astype(f32)
+            tmp = jnp.dot(ay, wf, preferred_element_type=f32)
+            tmp = tmp.reshape(out_size, WIN_W, c)
+            out = jax.lax.dot_general(
+                ax, tmp,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=f32,
+            )
+            out_ref[0, l] = (jnp.swapaxes(out, 0, 1) / count).astype(out_ref.dtype)
+
+    block_specs = []
+    for l in range(L):
+        for ky in range(Y_STRIPS):
+            for kx in range(X_BLOCKS):
+                block_specs.append(
+                    pl.BlockSpec(
+                        (Y_BLOCK, X_BLOCK, c),
+                        functools.partial(
+                            lambda i, yb, xb, l, ky, kx: (
+                                yb[i * L + l] + ky, xb[i * L + l] + kx, 0
+                            ),
+                            l=l, ky=ky, kx=kx,
+                        ),
+                        memory_space=pltpu.VMEM,
+                    )
+                )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(r,),
+        in_specs=[
+            pl.BlockSpec((1, 1, 128), lambda i, yb, xb: (i, 0, 0), memory_space=pltpu.SMEM)
+        ]
+        + block_specs,
+        out_specs=pl.BlockSpec(
+            (1, L, out_size, out_size, c),
+            lambda i, yb, xb: (i, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+
+    if interpret:
+        # jnp emulation (interpret mode lacks scalar-prefetch support)
+        def one(t):
+            (yb, xb, st_h, st_w, b_h, b_w, g_h, g_w, s_h, s_w, yo, xo) = t
+            outs = []
+            for l in range(L):
+                win = jax.lax.dynamic_slice(
+                    pyr, (yb[l] * Y_BLOCK, xb[l] * X_BLOCK, 0), (WIN_H, WIN_W, c)
+                )
+                ay = _interp_matrix(st_h[l], b_h[l], g_h[l], s_h[l], yo[l], WIN_H, out_size, s_max)
+                ax = _interp_matrix(st_w[l], b_w[l], g_w[l], s_w[l], xo[l], WIN_W, out_size, s_max)
+                count = jnp.maximum(g_h[l] * g_w[l], 1.0)
+                wf = win.reshape(WIN_H, WIN_W * c).astype(f32)
+                tmp = jnp.dot(ay, wf).reshape(out_size, WIN_W, c)
+                o = jnp.einsum("xp,ypc->yxc", ax, tmp) / count
+                outs.append(o.astype(feats[0].dtype))
+            return jnp.stack(outs)
+
+        out = jax.lax.map(
+            one,
+            (yblk, xblk, start_h, start_w, bin_h, bin_w, grid_h, grid_w,
+             hs * jnp.ones((r, L)), ws * jnp.ones((r, L)),
+             yblk.astype(f32) * Y_BLOCK - row_off, xblk.astype(f32) * X_BLOCK),
+        )
+    else:
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(
+                (r, L, out_size, out_size, c), feats[0].dtype
+            ),
+        )(yblk.reshape(-1), xblk.reshape(-1), params,
+          *([pyr] * (L * Y_STRIPS * X_BLOCKS)))
+
+    # fallback for (roi, level) pairs exceeding the window
+    ext_w = (rois[:, 2:3] - rois[:, 0:1]) * scl[None, :]
+    ext_h = (rois[:, 3:4] - rois[:, 1:2]) * scl[None, :]
+    overflow = (ext_w + X_BLOCK + 2 > WIN_W) | (ext_h + Y_BLOCK + 2 > WIN_H)
+    flat_overflow = overflow.reshape(-1)  # (R*L,)
+    cap = min(fallback_cap, r * L)
+    top, idx = jax.lax.top_k(jnp.where(flat_overflow, 1.0, 0.0), cap)
+    sel_valid = top > 0.0
+    roi_idx = idx // L
+    lvl_idx = (idx % L).astype(jnp.int32)
+    sub = roi_align_pyramid(
+        feats, rois[roi_idx], strides, lvl_idx,
+        out_size=out_size, sampling_ratio=sampling_ratio, max_samples=max_samples,
+    )
+    flat = out.reshape(r * L, out_size, out_size, c)
+    patched = jnp.where(sel_valid[:, None, None, None], sub, flat[idx])
+    flat = flat.at[idx].set(patched.astype(flat.dtype))
+    return flat.reshape(r, L, out_size, out_size, c)
+
+
+@functools.lru_cache(maxsize=None)
+def _trainable_adpt(strides, out_size, sampling_ratio, max_samples, interpret):
+    # NOTE: levels are aligned in 2-level groups (the platform's Mosaic
+    # compiler handles ~20 pipeline block specs per kernel; 4 levels x 10
+    # specs would exceed it)
+    """custom_vjp: Pallas forward, per-level pyramid-gather backward."""
+    from htd_tpu.ops.roi_align import roi_align_pyramid as pyramid
+
+    L = len(strides)
+
+    def ref_impl(feats, rois, r):
+        outs = []
+        for l in range(L):
+            lv = jnp.full((r,), l, jnp.int32)
+            outs.append(
+                pyramid(
+                    list(feats), rois, strides, lv,
+                    out_size=out_size, sampling_ratio=sampling_ratio,
+                    max_samples=max_samples,
+                )
+            )
+        return jnp.stack(outs, axis=1)  # (R, L, 7, 7, C)
+
+    @jax.custom_vjp
+    def fn(feats, rois):
+        outs = []
+        for g in range(0, L, 2):
+            outs.append(
+                adpt_align_pallas(
+                    list(feats[g : g + 2]), rois, strides[g : g + 2],
+                    out_size=out_size, sampling_ratio=sampling_ratio,
+                    max_samples=max_samples, interpret=interpret,
+                )
+            )
+        return jnp.concatenate(outs, axis=1)
+
+    def fwd(feats, rois):
+        return fn(feats, rois), (feats, rois)
+
+    def bwd(res, g):
+        feats, rois = res
+        r = rois.shape[0]
+        _, vjp = jax.vjp(lambda fs: ref_impl(fs, rois, r), feats)
+        (dfeats,) = vjp(g.astype(feats[0].dtype))
+        return dfeats, None
+
+    fn.defvjp(fwd, bwd)
+    return fn
+
+
+def adpt_align_trainable(
+    feats, rois, strides, out_size=7, sampling_ratio=0, max_samples=2,
+    interpret=False,
+):
+    """Differentiable (w.r.t. features) all-level aligner. (R, L, 7, 7, C)."""
+    fn = _trainable_adpt(
+        tuple(strides), out_size, sampling_ratio, max_samples, interpret
+    )
+    return fn(tuple(feats), rois)
 
 
 def roi_align_fused(
