@@ -167,3 +167,30 @@ def test_trainable_fused_grad_matches_pyramid(rng):
     g2 = jax.grad(loss_pyr)(tuple(feats))
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_adpt_align_trainable_interpret(rng):
+    """Experimental multi-level kernel (interpret path) == per-level pyramid."""
+    from htd_tpu.ops.roi_align import roi_align_pyramid
+    from htd_tpu.ops.roi_align_pallas import adpt_align_trainable
+
+    strides = (4, 8, 16, 32)
+    feats = [
+        jnp.asarray(rng.normal(0, 1, (64 // (2 ** i), 96 // (2 ** i), 8)).astype(np.float32))
+        for i in range(4)
+    ]
+    rois = np.zeros((6, 4), np.float32)
+    rois[:, 0] = rng.uniform(0, 200, 6)
+    rois[:, 1] = rng.uniform(0, 120, 6)
+    rois[:, 2] = rois[:, 0] + rng.uniform(10, 60, 6)
+    rois[:, 3] = rois[:, 1] + rng.uniform(10, 60, 6)
+    out = adpt_align_trainable(
+        feats, jnp.asarray(rois), strides, 7, 0, 2, interpret=True
+    )
+    for l in range(4):
+        lv = jnp.full((6,), l, jnp.int32)
+        ref = roi_align_pyramid(feats, jnp.asarray(rois), strides, lv, 7, 0, 2)
+        np.testing.assert_allclose(
+            np.asarray(out[:, l]), np.asarray(ref), rtol=1e-4, atol=1e-5,
+            err_msg=f"level {l}",
+        )
