@@ -24,8 +24,6 @@ def _bilinear_gather(feat_flat: Array, h: int, w: int, ys: Array, xs: Array) -> 
     """Sample (..., ) positions from (H*W, C) with zero padding outside.
 
     ys/xs: float arrays of identical shape S. Returns S + (C,).
-    The 4 corner contributions are contracted against the gathered rows
-    with one batched dot (MXU) instead of channel-broadcast multiplies.
     """
     inside = (ys > -1.0) & (ys < h) & (xs > -1.0) & (xs < w)
     y0 = jnp.floor(ys)
@@ -35,26 +33,19 @@ def _bilinear_gather(feat_flat: Array, h: int, w: int, ys: Array, xs: Array) -> 
     y0i = y0.astype(jnp.int32)
     x0i = x0.astype(jnp.int32)
 
-    idxs, wgts = [], []
-    for dy, wy in ((0, 1 - ly), (1, ly)):
-        for dx, wx in ((0, 1 - lx), (1, lx)):
-            yi = y0i + dy
-            xi = x0i + dx
-            ok = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w) & inside
-            idxs.append(jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1))
-            wgts.append(jnp.where(ok, wy * wx, 0.0))
-    idx = jnp.stack(idxs, axis=-1)   # S + (4,)
-    wgt = jnp.stack(wgts, axis=-1)   # S + (4,)
-    c = feat_flat.shape[-1]
-    v = jnp.take(feat_flat, idx.reshape(-1), axis=0).reshape(idx.shape + (c,))
-    nbatch = len(idx.shape) - 1
-    bdims = tuple(range(nbatch))
-    out = jax.lax.dot_general(
-        wgt.astype(feat_flat.dtype), v,
-        dimension_numbers=(((nbatch,), (nbatch,)), (bdims, bdims)),
-        preferred_element_type=jnp.float32,
+    def corner(yi, xi, wgt):
+        ok = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+        idx = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
+        v = jnp.take(feat_flat, idx.reshape(-1), axis=0).reshape(idx.shape + (feat_flat.shape[-1],))
+        wgt = jnp.where(ok & inside, wgt, 0.0)
+        return v * wgt[..., None].astype(v.dtype)
+
+    return (
+        corner(y0i, x0i, (1 - ly) * (1 - lx))
+        + corner(y0i, x0i + 1, (1 - ly) * lx)
+        + corner(y0i + 1, x0i, ly * (1 - lx))
+        + corner(y0i + 1, x0i + 1, ly * lx)
     )
-    return out.astype(feat_flat.dtype)
 
 
 def deform_conv2d(
