@@ -26,6 +26,9 @@ def main():
     p.add_argument("--config", default="htd_r50_1x")
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--log-every", type=int, default=20)
+    p.add_argument("--lr", type=float, default=None,
+                   help="override lr (reference 0.02 assumes batch 12; "
+                        "linear scaling suggests lr*batch/12)")
     args = p.parse_args()
 
     import jax
@@ -41,6 +44,9 @@ def main():
     cfg = getattr(C, args.config)()
     if args.bf16:
         cfg = cfg.replace(compute_dtype="bfloat16")
+    if args.lr is not None:
+        import dataclasses
+        cfg = cfg.replace(train=dataclasses.replace(cfg.train, lr=args.lr))
 
     rng = np.random.RandomState(0)
     b, h, w = args.batch, args.height, args.width
