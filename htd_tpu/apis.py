@@ -181,7 +181,8 @@ def evaluate_dataset(
     scale: Tuple[int, int] = (1333, 800),
     max_images: Optional[int] = None,
     log_every: int = 50,
-) -> Dict[str, float]:
+    return_detections: bool = False,
+):
     """COCO val loop: batched static-bucket inference + native COCO mAP."""
     import jax.numpy as jnp
 
@@ -218,4 +219,6 @@ def evaluate_dataset(
     metrics = evaluate_coco_map(
         detections, gt, num_classes=len(dataset.cat_ids) or 80
     )
+    if return_detections:
+        return metrics, detections
     return metrics

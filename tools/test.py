@@ -23,6 +23,7 @@ def main():
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--max-images", type=int, default=None)
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--dump", default=None, help="write detections json here")
     args = p.parse_args()
 
     from htd_tpu import config as C
@@ -34,10 +35,27 @@ def main():
         cfg = cfg.replace(compute_dtype="bfloat16")
     model, variables = init_detector(cfg, args.checkpoint)
     dataset = CocoDataset(args.ann, args.img_root, test_mode=True)
-    metrics = evaluate_dataset(
+    out = evaluate_dataset(
         model, variables, dataset,
         batch_size=args.batch_size, max_images=args.max_images,
+        return_detections=bool(args.dump),
     )
+    if args.dump:
+        metrics, dets = out
+        with open(args.dump, "w") as f:
+            json.dump(
+                {
+                    str(k): dict(
+                        boxes=v[0].tolist(),
+                        scores=v[1].tolist(),
+                        labels=v[2].tolist(),
+                    )
+                    for k, v in dets.items()
+                },
+                f,
+            )
+    else:
+        metrics = out
     print(json.dumps({k: round(v, 4) for k, v in metrics.items()}))
 
 
