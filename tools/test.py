@@ -24,6 +24,13 @@ def main():
     p.add_argument("--max-images", type=int, default=None)
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--dump", default=None, help="write detections json here")
+    p.add_argument(
+        "--aug", action="store_true",
+        help="multi-scale+flip TTA per image (the mstrain configs' test "
+             "pipeline); slower, evaluates via aug_inference_detector",
+    )
+    p.add_argument("--aug-scales", nargs="+", default=["1333x800"],
+                   help="TTA scales as WxH, e.g. 1600x800 1600x1000")
     args = p.parse_args()
 
     from htd_tpu import config as C
@@ -35,6 +42,27 @@ def main():
         cfg = cfg.replace(compute_dtype="bfloat16")
     model, variables = init_detector(cfg, args.checkpoint)
     dataset = CocoDataset(args.ann, args.img_root, test_mode=True)
+    if args.aug:
+        import numpy as np
+
+        from htd_tpu.apis import aug_inference_detector
+        from htd_tpu.data.coco_eval import evaluate_coco_map
+
+        scales = [tuple(int(v) for v in s.split("x")) for s in args.aug_scales]
+        dets = {}
+        for i, rec in enumerate(dataset.records):
+            if args.max_images and i >= args.max_images:
+                break
+            img = dataset.load_image(rec)
+            b, s_, l = aug_inference_detector(
+                model, variables, img, scales=scales, flip=True
+            )
+            dets[rec.img_id] = (b.astype(np.float64), s_.astype(np.float64), l)
+        gt = {k: v for k, v in dataset.groundtruth().items() if k in dets}
+        metrics = evaluate_coco_map(dets, gt, num_classes=len(dataset.cat_ids) or 80)
+        print(json.dumps({k: round(v, 4) for k, v in metrics.items()}))
+        return
+
     out = evaluate_dataset(
         model, variables, dataset,
         batch_size=args.batch_size, max_images=args.max_images,
