@@ -222,6 +222,25 @@ def convert_mmdet_state_dict(
     return {"params": params, "batch_stats": stats}
 
 
+def merge_pretrained(variables: Dict[str, Any], pretrained: Dict[str, Any]):
+    """Overlay pretrained leaves onto an initialized variable tree.
+
+    Only leaves whose path exists in `variables` are replaced (so a
+    backbone-only checkpoint leaves heads at their fresh init) — the
+    reference's load_checkpoint(strict=False) semantics.
+    """
+    import flax.traverse_util as tu
+
+    out = {}
+    for col in variables:
+        flat = dict(tu.flatten_dict(variables[col]))
+        for k, v in tu.flatten_dict(pretrained.get(col, {})).items():
+            if k in flat:
+                flat[k] = v
+        out[col] = tu.unflatten_dict(flat)
+    return out
+
+
 def load_torch_checkpoint(path: str, cfg: HTDConfig) -> Dict[str, Any]:
     """Load an mmdet .pth checkpoint and convert it."""
     import torch

@@ -198,3 +198,34 @@ def test_full_state_dict_structure_roundtrip(rng):
     sa = {jax.tree_util.keystr(p): v.shape for p, v in jax.tree_util.tree_leaves_with_path(variables["batch_stats"])}
     sb = {jax.tree_util.keystr(p): v.shape for p, v in jax.tree_util.tree_leaves_with_path(converted["batch_stats"])}
     assert sa == sb
+
+
+def test_merge_pretrained_backbone_only(rng):
+    """Backbone-only checkpoints overlay the backbone, leave heads fresh."""
+    from htd_tpu.train.checkpoint import merge_pretrained
+
+    variables = {
+        "params": {
+            "backbone": {"conv1": {"kernel": np.zeros((3, 3))}},
+            "rpn_head": {"rpn_conv": {"kernel": np.ones((2, 2))}},
+        },
+        "batch_stats": {"backbone": {"bn1": {"mean": np.zeros(4)}}},
+    }
+    pre = {
+        "params": {
+            "backbone": {"conv1": {"kernel": np.full((3, 3), 7.0)}},
+            "not_in_model": {"x": np.ones(1)},
+        },
+        "batch_stats": {"backbone": {"bn1": {"mean": np.full(4, 2.0)}}},
+    }
+    merged = merge_pretrained(variables, pre)
+    np.testing.assert_array_equal(
+        merged["params"]["backbone"]["conv1"]["kernel"], np.full((3, 3), 7.0)
+    )
+    np.testing.assert_array_equal(
+        merged["params"]["rpn_head"]["rpn_conv"]["kernel"], np.ones((2, 2))
+    )
+    np.testing.assert_array_equal(
+        merged["batch_stats"]["backbone"]["bn1"]["mean"], np.full(4, 2.0)
+    )
+    assert "not_in_model" not in merged["params"]

@@ -107,21 +107,16 @@ def main():
         pretrained_variables=None,
     )
     if pretrained is not None:
-        # merge pretrained leaves into the initialized tree
-        import flax.traverse_util as tu
+        from htd_tpu.train.checkpoint import merge_pretrained
 
-        flat = dict(tu.flatten_dict(state.params))
-        for k, v in tu.flatten_dict(pretrained.get("params", {})).items():
-            if k in flat:
-                flat[k] = v
-        params = tu.unflatten_dict(flat)
-        stats = dict(tu.flatten_dict(state.batch_stats))
-        for k, v in tu.flatten_dict(pretrained.get("batch_stats", {})).items():
-            if k in stats:
-                stats[k] = v
+        merged = merge_pretrained(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            pretrained,
+        )
         state = state._replace(
-            params=params, batch_stats=tu.unflatten_dict(stats),
-            opt_state=tx.init(params),
+            params=merged["params"],
+            batch_stats=merged["batch_stats"],
+            opt_state=tx.init(merged["params"]),
         )
 
     if args.resume_from:
