@@ -12,8 +12,8 @@ The presets at the bottom transcribe the HTD configs' hyperparameters 1:1:
 from __future__ import annotations
 
 import dataclasses
-from dataclasses import dataclass, field
-from typing import Optional, Sequence, Tuple
+from dataclasses import dataclass
+from typing import Tuple
 
 
 @dataclass(frozen=True)

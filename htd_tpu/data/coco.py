@@ -15,7 +15,7 @@ from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from htd_tpu.data.pipeline import ProcessedImage, bucket_shape, pad_gt, preprocess
+from htd_tpu.data.pipeline import bucket_shape, pad_gt, preprocess
 
 
 @dataclasses.dataclass

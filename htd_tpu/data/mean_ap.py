@@ -8,7 +8,7 @@ VOC-style datasets and by RPN evaluation.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 

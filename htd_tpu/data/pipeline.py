@@ -14,7 +14,7 @@ configs/_base_/datasets/coco_detection.py.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 

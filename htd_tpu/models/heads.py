@@ -20,7 +20,7 @@ expressed with per-image masks, vmapped over B.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ Freezing (`frozen_stages`) is applied by the optimizer mask, not here.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Tuple
 
 import jax.numpy as jnp
 import flax.linen as nn

@@ -15,7 +15,7 @@ All functions take one image's (H_l, W_l, C) features + a fixed-capacity
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp

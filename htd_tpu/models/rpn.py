@@ -14,14 +14,13 @@ TPU adaptations (result-preserving):
 
 from __future__ import annotations
 
-import functools
-from typing import Any, List, Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from htd_tpu.config import ProposalConfig, RPNConfig
+from htd_tpu.config import ProposalConfig
 from htd_tpu.ops.anchors import AnchorGenerator
 from htd_tpu.ops.boxes import delta2bbox
 from htd_tpu.ops.nms import batched_nms, NEG_INF

@@ -8,7 +8,7 @@ htd_roi_head.aug_test:388-441.
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -16,13 +16,10 @@ replace the inner loop; the public contract stays the same.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-
-from htd_tpu.ops.boxes import bbox_overlaps
 
 Array = jnp.ndarray
 

@@ -22,8 +22,7 @@ pyramid — 4x less traffic than the naive align-on-every-level-and-select.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional, Sequence, Union
+from typing import Sequence
 
 import numpy as np
 import jax

@@ -9,7 +9,7 @@ the R-101 configs) and `frozen_stages=1` backbone freezing
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+
 
 import jax
 import jax.numpy as jnp

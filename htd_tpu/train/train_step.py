@@ -15,7 +15,6 @@ from typing import Any, Dict, NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import optax
-from flax.core import FrozenDict
 
 from htd_tpu.config import HTDConfig
 from htd_tpu.models.detector import HTDDetector
