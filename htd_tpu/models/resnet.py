@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import Any, Tuple
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -74,6 +75,49 @@ class DeformConv2d(nn.Module):
         )
 
 
+class BlockDiagGroupedConv(nn.Module):
+    """Grouped 3x3 conv executed as a DENSE conv with a block-diagonal kernel.
+
+    TPU rationale: ResNeXt's 64-way groups give 4-channel blocks — at 4/128
+    lane utilization a native grouped conv runs ~3x slower end-to-end than
+    the whole R-101 model. The dense block-diagonal formulation spends 64x
+    the (nearly free) FLOPs to stay on the MXU's fast path. The parameter
+    keeps the grouped (kh, kw, C/G, C_out) layout, so checkpoints convert
+    identically to torch grouped convs.
+    """
+
+    features: int
+    groups: int
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        cin = x.shape[-1]
+        cg = cin // self.groups
+        og = self.features // self.groups
+        kernel = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(2.0, "fan_out", "normal"),
+            (3, 3, cg, self.features),
+            jnp.float32,
+        )
+        dense = jnp.zeros((3, 3, cin, self.features), kernel.dtype)
+        for g in range(self.groups):
+            dense = jax.lax.dynamic_update_slice(
+                dense,
+                kernel[:, :, :, g * og : (g + 1) * og],
+                (0, 0, g * cg, g * og),
+            )
+        return jax.lax.conv_general_dilated(
+            x,
+            dense.astype(x.dtype),
+            window_strides=(self.stride, self.stride),
+            padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+
 class Bottleneck(nn.Module):
     """Pytorch-style bottleneck (stride on conv2)."""
 
@@ -107,9 +151,14 @@ class Bottleneck(nn.Module):
                 dtype=self.dtype,
                 name="conv2",
             )(out)
+        elif self.groups > 1:
+            out = BlockDiagGroupedConv(
+                width, groups=self.groups, stride=self.stride,
+                dtype=self.dtype, name="conv2",
+            )(out)
         else:
             out = conv(
-                width, 3, self.stride, groups=self.groups,
+                width, 3, self.stride,
                 use_bias=False, dtype=self.dtype, name="conv2",
             )(out)
         out = FrozenBatchNorm(width, dtype=self.dtype, name="bn2")(out)

@@ -37,3 +37,23 @@ def test_resnext_width_and_shapes():
     # stage-1 conv2 operates at width 64*4*64/64 = 256 with 64 groups
     k = variables["params"]["layer1_0"]["conv2"]["kernel"]
     assert k.shape == (3, 3, 256 // 64, 256)
+
+
+def test_blockdiag_grouped_conv_matches_torch(rng):
+    """Dense block-diagonal execution == torch grouped conv."""
+    from htd_tpu.models.resnet import BlockDiagGroupedConv
+
+    groups = 8
+    tconv = torch.nn.Conv2d(32, 64, 3, padding=1, groups=groups, bias=False)
+    with torch.no_grad():
+        tconv.weight.copy_(torch.from_numpy(rng.normal(0, 0.2, (64, 4, 3, 3)).astype(np.float32)))
+    x = rng.normal(0, 1, (1, 32, 9, 11)).astype(np.float32)
+    ref = tconv(torch.from_numpy(x)).detach().numpy()
+
+    m = BlockDiagGroupedConv(64, groups=groups)
+    kernel = tconv.weight.detach().numpy().transpose(2, 3, 1, 0)  # OIHW->HW(C/G)O
+    ours = m.apply({"params": {"kernel": jnp.asarray(kernel)}},
+                   jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(
+        np.asarray(ours).transpose(0, 3, 1, 2), ref, rtol=1e-4, atol=1e-4
+    )
