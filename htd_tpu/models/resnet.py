@@ -43,12 +43,14 @@ class DeformConv2d(nn.Module):
     features: int
     stride: int = 1
     deform_groups: int = 1
+    groups: int = 1  # weight groups (ResNeXt); offsets stay deform-grouped
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         from htd_tpu.ops.dcn import deform_conv2d  # local import: optional path
 
+        cin = x.shape[-1]
         offsets = nn.Conv(
             features=self.deform_groups * 18,
             kernel_size=(3, 3),
@@ -60,12 +62,25 @@ class DeformConv2d(nn.Module):
             dtype=self.dtype,
             name="conv_offset",
         )(x)
+        cg = cin // self.groups
         weight = self.param(
             "kernel",
             nn.initializers.variance_scaling(1.0, "fan_out", "normal"),
-            (3, 3, x.shape[-1], self.features),
+            (3, 3, cg, self.features),
             jnp.float32,
         )
+        if self.groups > 1:
+            # grouped weights executed block-diagonally (see
+            # BlockDiagGroupedConv for the TPU rationale)
+            og = self.features // self.groups
+            dense = jnp.zeros((3, 3, cin, self.features), weight.dtype)
+            for g in range(self.groups):
+                dense = jax.lax.dynamic_update_slice(
+                    dense,
+                    weight[:, :, :, g * og : (g + 1) * og],
+                    (0, 0, g * cg, g * og),
+                )
+            weight = dense
         return deform_conv2d(
             x,
             offsets,
@@ -148,6 +163,7 @@ class Bottleneck(nn.Module):
                 width,
                 stride=self.stride,
                 deform_groups=self.deform_groups,
+                groups=self.groups,
                 dtype=self.dtype,
                 name="conv2",
             )(out)

@@ -57,3 +57,21 @@ def test_blockdiag_grouped_conv_matches_torch(rng):
     np.testing.assert_allclose(
         np.asarray(ours).transpose(0, 3, 1, 2), ref, rtol=1e-4, atol=1e-4
     )
+
+
+def test_grouped_dcn_param_shape():
+    """X-101-DCN conv2: grouped deformable weight keeps the (3,3,C/G,out)
+    layout torch checkpoints convert into."""
+    from htd_tpu.models.resnet import ResNet
+
+    model = ResNet(
+        depth=10, groups=64, base_width=4,
+        stage_with_dcn=(False, True, False, False),
+    )
+    variables = jax.jit(lambda r, xx: model.init(r, xx))(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))
+    )
+    p = variables["params"]["layer2_0"]["conv2"]
+    # layer2 width = 128*4*64/64 = 512; groups 64 -> C/G = 8
+    assert p["kernel"].shape == (3, 3, 512 // 64, 512)
+    assert p["conv_offset"]["kernel"].shape == (3, 3, 512, 18)
