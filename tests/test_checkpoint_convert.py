@@ -229,3 +229,63 @@ def test_merge_pretrained_backbone_only(rng):
         merged["batch_stats"]["backbone"]["bn1"]["mean"], np.full(4, 2.0)
     )
     assert "not_in_model" not in merged["params"]
+
+
+def test_x101_dcn_backbone_roundtrip(rng):
+    """Converter handles grouped conv2 + grouped DCN (the X-101-DCN layout)."""
+    from htd_tpu.config import BackboneConfig, HTDConfig
+    from htd_tpu.models.resnet import ResNet, ARCH_BLOCKS
+
+    cfg = HTDConfig(
+        backbone=BackboneConfig(
+            depth=10, groups=64, base_width=4,
+            stage_with_dcn=(False, True, True, True),
+        )
+    )
+    model = ResNet(
+        depth=10, groups=64, base_width=4,
+        stage_with_dcn=(False, True, True, True),
+    )
+    variables = jax.jit(lambda r, xx: model.init(r, xx))(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))
+    )
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+    stats = jax.tree_util.tree_map(np.asarray, variables["batch_stats"])
+
+    def conv_t(p):
+        return np.transpose(p, (3, 2, 0, 1))
+
+    sd = {}
+    sd["backbone.conv1.weight"] = conv_t(params["conv1"]["kernel"])
+    for nm, node, snode in [("backbone.bn1", params["bn1"], stats["bn1"])]:
+        sd[nm + ".weight"] = node["scale"]; sd[nm + ".bias"] = node["bias"]
+        sd[nm + ".running_mean"] = snode["mean"]; sd[nm + ".running_var"] = snode["var"]
+    for s in range(4):
+        for i in range(ARCH_BLOCKS[10][s]):
+            fp, sfp = params[f"layer{s+1}_{i}"], stats[f"layer{s+1}_{i}"]
+            tp = f"backbone.layer{s+1}.{i}"
+            for j in (1, 2, 3):
+                key = fp[f"conv{j}"]
+                if j == 2 and cfg.backbone.stage_with_dcn[s]:
+                    sd[f"{tp}.conv2.weight"] = conv_t(key["kernel"])
+                    sd[f"{tp}.conv2.conv_offset.weight"] = conv_t(key["conv_offset"]["kernel"])
+                    sd[f"{tp}.conv2.conv_offset.bias"] = key["conv_offset"]["bias"]
+                else:
+                    sd[f"{tp}.conv{j}.weight"] = conv_t(key["kernel"])
+                bn = fp[f"bn{j}"]; sbn = sfp[f"bn{j}"]
+                sd[f"{tp}.bn{j}.weight"] = bn["scale"]; sd[f"{tp}.bn{j}.bias"] = bn["bias"]
+                sd[f"{tp}.bn{j}.running_mean"] = sbn["mean"]; sd[f"{tp}.bn{j}.running_var"] = sbn["var"]
+            sd[f"{tp}.downsample.0.weight"] = conv_t(fp["downsample_conv"]["kernel"])
+            dbn, sdbn = fp["downsample_bn"], sfp["downsample_bn"]
+            sd[f"{tp}.downsample.1.weight"] = dbn["scale"]; sd[f"{tp}.downsample.1.bias"] = dbn["bias"]
+            sd[f"{tp}.downsample.1.running_mean"] = sdbn["mean"]; sd[f"{tp}.downsample.1.running_var"] = sdbn["var"]
+
+    converted = convert_mmdet_state_dict(sd, cfg, strict=False)
+    a = {jax.tree_util.keystr(p): v.shape for p, v in jax.tree_util.tree_leaves_with_path(params)}
+    b = {jax.tree_util.keystr(p): v.shape for p, v in jax.tree_util.tree_leaves_with_path(converted["params"]["backbone"])}
+    assert a == b
+    # exact value round-trip on a dcn block
+    np.testing.assert_allclose(
+        np.asarray(converted["params"]["backbone"]["layer2_0"]["conv2"]["kernel"]),
+        params["layer2_0"]["conv2"]["kernel"], rtol=1e-6,
+    )
