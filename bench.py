@@ -2,9 +2,11 @@
 
 Protocol mirrors the reference tools/benchmark.py:70-95: single-image
 batches, warmup, steady-state timing, images/sec. The reference publishes
-no fps numbers (SURVEY.md §6); `vs_baseline` is computed against an assumed
-8.0 img/s for the PyTorch HTD R-50 on its era GPU (Faster R-CNN-class
-two-stage detectors with per-roi graph loops run ~5-10 fps on V100).
+no fps numbers (SURVEY.md §6); `vs_baseline` divides by an 8.0 img/s
+estimate of PyTorch HTD R-50 on a V100 — see BASELINE.md "Baseline
+throughput derivation" for the full justification (mmdet-2.x model-zoo
+anchor points + a FLOP budget of HTD's extra per-roi work; 8.0 is the
+GENEROUS end of the 6-8 fps estimate, so vs_baseline is a lower bound).
 
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -14,6 +16,7 @@ import time
 
 import numpy as np
 
+# See BASELINE.md "Baseline throughput derivation".
 ASSUMED_PYTORCH_BASELINE_IPS = 8.0
 
 

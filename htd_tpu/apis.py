@@ -68,15 +68,19 @@ def inference_detector(
     model,
     variables,
     img_bgr: np.ndarray,
-    scale: Tuple[int, int] = (1333, 800),
+    scale: Optional[Tuple[int, int]] = None,
     fwd=None,
 ):
     """Single-image inference. Returns (boxes (k,4), scores (k,), labels (k,))
-    in original-image coordinates (reference apis/inference.py:82)."""
+    in original-image coordinates (reference apis/inference.py:82).
+
+    `scale` defaults to the model config's test_scale (per-model test
+    resolution, e.g. (1600, 800) for X-101-DCN)."""
     import jax.numpy as jnp
 
     from htd_tpu.data.pipeline import bucket_shape, preprocess
 
+    scale = scale or model.cfg.test_scale
     landscape = img_bgr.shape[1] >= img_bgr.shape[0]
     bucket = bucket_shape(scale, landscape)
     p = preprocess(img_bgr, scale=scale, bucket=bucket)
@@ -101,7 +105,7 @@ def aug_inference_detector(
     model,
     variables,
     img_bgr: np.ndarray,
-    scales: Sequence[Tuple[int, int]] = ((1333, 800),),
+    scales: Optional[Sequence[Tuple[int, int]]] = None,
     flip: bool = True,
 ):
     """Multi-scale + flip TTA inference for one image.
@@ -129,6 +133,7 @@ def aug_inference_detector(
             _TTA_JIT_CACHE[key] = _ft.partial(jf, variables)
         return _TTA_JIT_CACHE[key]
 
+    scales = scales or (model.cfg.test_scale,)
     landscape = img_bgr.shape[1] >= img_bgr.shape[0]
     augs = []  # (processed, flip)
     for scale in scales:
@@ -178,17 +183,20 @@ def evaluate_dataset(
     variables,
     dataset,
     batch_size: int = 8,
-    scale: Tuple[int, int] = (1333, 800),
+    scale: Optional[Tuple[int, int]] = None,
     max_images: Optional[int] = None,
     log_every: int = 50,
     return_detections: bool = False,
 ):
-    """COCO val loop: batched static-bucket inference + native COCO mAP."""
+    """COCO val loop: batched static-bucket inference + native COCO mAP.
+
+    `scale` defaults to the model config's test_scale."""
     import jax.numpy as jnp
 
     from htd_tpu.data.coco import grouped_batches, make_test_batch
     from htd_tpu.data.coco_eval import evaluate_coco_map
 
+    scale = scale or model.cfg.test_scale
     fwd = make_inference_fn(model, variables)
     detections: Dict[int, Tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
     seen = 0

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass
-from typing import Tuple
+from typing import Optional, Tuple
 
 
 @dataclass(frozen=True)
@@ -193,7 +193,16 @@ class TrainConfig:
     warmup_ratio: float = 1.0 / 3.0
     lr_steps: Tuple[int, ...] = (8, 11)  # epochs (1x); 2x = (16, 22)
     total_epochs: int = 12
-    grad_clip_norm: float = 35.0         # R-101 configs use max_norm=35 l2
+    # Every HTD config sets optimizer_config = dict(grad_clip=None)
+    # (htd_resnet101_2x.py:120, htd_resnet101_dcn_2x_mstrain.py:119,
+    # htd_resnetx101_dcn_2x_mstrain.py:117, _base_/schedules/schedule_1x.py:3)
+    # — clipping is available as an explicit opt-in only.
+    grad_clip_norm: Optional[float] = None
+    # Train-time Resize img_scale. Fixed (1333, 800) for r50_1x/r101_2x;
+    # the mstrain configs sample the short side uniformly in a range
+    # (img_scale=[(1600, 400), (1600, 1400)] with keep_ratio=True).
+    img_scale: Tuple[int, int] = (1333, 800)
+    mstrain_range: Optional[Tuple[Tuple[int, int], Tuple[int, int]]] = None
 
 
 @dataclass(frozen=True)
@@ -212,6 +221,10 @@ class HTDConfig:
     num_classes: int = 80
     # dtype policy: "float32" | "bfloat16" compute for conv/matmul paths
     compute_dtype: str = "float32"
+    # Test-pipeline img_scale. (1333, 800) for r50/r101/r101-dcn
+    # (htd_resnet101_dcn_2x_mstrain.py:27); (1600, 800) for x101-dcn
+    # (htd_resnetx101_dcn_2x_mstrain.py:27).
+    test_scale: Tuple[int, int] = (1333, 800)
 
     def replace(self, **kw) -> "HTDConfig":
         return dataclasses.replace(self, **kw)
@@ -242,7 +255,8 @@ def htd_r101_dcn_2x(**overrides) -> HTDConfig:
         ),
         rcnn_test=RCNNTestConfig(use_soft_nms=True),
         train=dataclasses.replace(
-            TrainConfig(), lr_steps=(16, 22), total_epochs=24
+            TrainConfig(), lr_steps=(16, 22), total_epochs=24,
+            mstrain_range=((1600, 400), (1600, 1400)),
         ),
     )
     return dataclasses.replace(cfg, **overrides) if overrides else cfg
@@ -259,7 +273,9 @@ def htd_x101_dcn_2x(**overrides) -> HTDConfig:
         ),
         rcnn_test=RCNNTestConfig(use_soft_nms=True),
         train=dataclasses.replace(
-            TrainConfig(), lr_steps=(16, 22), total_epochs=24
+            TrainConfig(), lr_steps=(16, 22), total_epochs=24,
+            mstrain_range=((1600, 400), (1600, 1400)),
         ),
+        test_scale=(1600, 800),
     )
     return dataclasses.replace(cfg, **overrides) if overrides else cfg

@@ -2,9 +2,13 @@
 
 Behavioral spec: the reference's schedule_1x/2x + default optimizer
 (SGD lr .02 momentum .9 wd 1e-4, linear warmup 500 iters at ratio 1/3,
-step decay x0.1 at the configured epochs; optional l2 grad clip 35 used by
-the R-101 configs) and `frozen_stages=1` backbone freezing
-(resnet.py:573-589): stem + layer1 get no updates.
+step decay x0.1 at the configured epochs) and `frozen_stages=1` backbone
+freezing (resnet.py:573-589): stem + layer1 get no updates.
+
+Grad clipping: every HTD config sets optimizer_config=dict(grad_clip=None)
+(htd_resnet101_2x.py:120 et al.), so the default is no clipping; an l2
+global-norm clip is available as an explicit opt-in via
+TrainConfig.grad_clip_norm.
 """
 
 from __future__ import annotations

@@ -37,8 +37,9 @@ def main():
     p.add_argument("--config", default="htd_r50_1x")
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--batch-size", type=int, default=1)
-    p.add_argument("--height", type=int, default=768)
-    p.add_argument("--width", type=int, default=1344)
+    p.add_argument("--height", type=int, default=None,
+                   help="default: landscape bucket of the config's test_scale")
+    p.add_argument("--width", type=int, default=None)
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--train", action="store_true", help="benchmark the train step")
     args = p.parse_args()
@@ -53,8 +54,15 @@ def main():
     if args.bf16:
         cfg = cfg.replace(compute_dtype="bfloat16")
 
+    from htd_tpu.data.pipeline import bucket_shape
+
+    # per-model test resolution (X-101-DCN tests at (1600, 800), others
+    # (1333, 800) — reference configs line 27 of each)
+    bh, bw = bucket_shape(cfg.test_scale, landscape=True)
     rng = np.random.RandomState(0)
-    b, h, w = args.batch_size, args.height, args.width
+    b = args.batch_size
+    h = args.height if args.height is not None else bh
+    w = args.width if args.width is not None else bw
     images = jnp.asarray(rng.normal(0, 1, (b, h, w, 3)).astype(np.float32))
     shapes = jnp.asarray(np.tile([[h - 18.0, w - 11.0]], (b, 1)).astype(np.float32))
     sfs = jnp.ones((b, 4), jnp.float32)

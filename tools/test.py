@@ -29,8 +29,13 @@ def main():
         help="multi-scale+flip TTA per image (the mstrain configs' test "
              "pipeline); slower, evaluates via aug_inference_detector",
     )
-    p.add_argument("--aug-scales", nargs="+", default=["1333x800"],
-                   help="TTA scales as WxH, e.g. 1600x800 1600x1000")
+    p.add_argument("--aug-scales", nargs="+", default=None,
+                   help="TTA scales as WxH, e.g. 1600x800 1600x1000 "
+                        "(default: the config's test_scale)")
+    p.add_argument("--scale", default=None,
+                   help="override test img_scale as WxH "
+                        "(default: the config's test_scale, e.g. 1600x800 "
+                        "for htd_x101_dcn_2x)")
     args = p.parse_args()
 
     from htd_tpu import config as C
@@ -40,6 +45,10 @@ def main():
     cfg = getattr(C, args.config)()
     if args.bf16:
         cfg = cfg.replace(compute_dtype="bfloat16")
+    scale = (
+        tuple(int(v) for v in args.scale.split("x"))
+        if args.scale else cfg.test_scale
+    )
     model, variables = init_detector(cfg, args.checkpoint)
     dataset = CocoDataset(args.ann, args.img_root, test_mode=True)
     if args.aug:
@@ -48,7 +57,10 @@ def main():
         from htd_tpu.apis import aug_inference_detector
         from htd_tpu.data.coco_eval import evaluate_coco_map
 
-        scales = [tuple(int(v) for v in s.split("x")) for s in args.aug_scales]
+        scales = (
+            [tuple(int(v) for v in s.split("x")) for s in args.aug_scales]
+            if args.aug_scales else [scale]
+        )
         dets = {}
         for i, rec in enumerate(dataset.records):
             if args.max_images and i >= args.max_images:
@@ -65,7 +77,7 @@ def main():
 
     out = evaluate_dataset(
         model, variables, dataset,
-        batch_size=args.batch_size, max_images=args.max_images,
+        batch_size=args.batch_size, scale=scale, max_images=args.max_images,
         return_detections=bool(args.dump),
     )
     if args.dump:

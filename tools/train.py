@@ -45,7 +45,9 @@ def parse_args():
     )
     p.add_argument(
         "--mstrain", action="store_true",
-        help="multi-scale train: short side uniform in [400,1400], long 1600",
+        help="force multi-scale train (short side uniform in [400,1400], "
+             "long 1600) even if the config preset doesn't carry a range; "
+             "the mstrain presets enable this automatically",
     )
     return p.parse_args()
 
@@ -119,25 +121,38 @@ def main():
             opt_state=tx.init(merged["params"]),
         )
 
+    start_epoch = 0
     if args.resume_from:
         state = restore_checkpoint(args.resume_from, state)
+        # reference runner.resume() restores epoch+iter (apis/train.py:146-149);
+        # our step counter is persisted, so the epoch position derives from it
+        start_epoch = int(state.step) // steps_per_epoch
+        print(f"resumed at step {int(state.step)} -> epoch {start_epoch}")
 
     mesh = make_mesh()
     step_fn = make_jitted_train_step(model, tx, mesh=mesh)
     state = jax.device_put(state, replicated(mesh))
     base_rng = jax.random.PRNGKey(args.seed + 1)
 
+    mstrain_range = cfg.train.mstrain_range
+    if args.mstrain and mstrain_range is None:
+        mstrain_range = ((1600, 400), (1600, 1400))
+
     log_path = os.path.join(args.work_dir, "train.log.json")
     t0 = time.time()
-    for epoch in range(cfg.train.total_epochs):
+    for epoch in range(start_epoch, cfg.train.total_epochs):
+        # per-epoch-seeded aug stream (scale sampling, flips): resume at
+        # epoch k reproduces the uninterrupted run's schedule exactly
+        # (DistributedGroupSampler's set_epoch semantics, group_sampler.py:75)
+        rng = np.random.RandomState(args.seed * 100003 + epoch)
         for it, records in enumerate(
             grouped_batches(dataset, args.batch_size, shuffle=True,
                             seed=args.seed + epoch, drop_last=True)
         ):
             scale = (
-                sample_mstrain_scale(rng, ((1600, 400), (1600, 1400)))
-                if args.mstrain
-                else (1333, 800)
+                sample_mstrain_scale(rng, mstrain_range)
+                if mstrain_range is not None
+                else cfg.train.img_scale
             )
             np_batch = make_train_batch(
                 dataset, records, scale=scale, max_gt=cfg.train.max_gt, rng=rng
