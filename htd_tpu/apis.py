@@ -196,12 +196,22 @@ def evaluate_dataset(
     from htd_tpu.data.coco import grouped_batches, make_test_batch
     from htd_tpu.data.coco_eval import evaluate_coco_map
 
+    import jax
+
     scale = scale or model.cfg.test_scale
     fwd = make_inference_fn(model, variables)
     detections: Dict[int, Tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
     seen = 0
     t0 = time.time()
-    for records in grouped_batches(dataset, batch_size, shuffle=False):
+    # multi-host: round-robin batch shard per process; detections gathered
+    # after the loop (reference multi_gpu_test + padded collection,
+    # apis/test.py:69,160-190)
+    pc = jax.process_count()
+    pid = jax.process_index()
+    gathered: list = []
+    for bi, records in enumerate(grouped_batches(dataset, batch_size, shuffle=False)):
+        if pc > 1 and bi % pc != pid:
+            continue
         if max_images is not None and seen >= max_images:
             break
         images, shapes, sfs, ids = make_test_batch(
@@ -212,15 +222,46 @@ def evaluate_dataset(
         scores = np.asarray(dets.scores)
         labels = np.asarray(dets.labels)
         valid = np.asarray(dets.valid)
+        if pc > 1:
+            gathered.append((boxes, scores, labels, valid, np.asarray(ids)))
         for i, img_id in enumerate(ids):
             if img_id < 0:
                 continue
             m = valid[i]
             detections[int(img_id)] = (boxes[i][m], scores[i][m], labels[i][m])
             seen += 1
-        if log_every and seen % log_every < batch_size:
+        if log_every and seen % log_every < batch_size and pid == 0:
             dt = time.time() - t0
             print(f"[eval] {seen} imgs, {seen / max(dt, 1e-9):.2f} img/s")
+
+    if pc > 1:
+        from htd_tpu.parallel.mesh import gather_detections
+
+        # pad every host to the same batch count so allgather shapes agree
+        from jax.experimental import multihost_utils
+
+        n_batches = int(
+            multihost_utils.process_allgather(np.asarray(len(gathered))).max()
+        )
+        shape = (
+            gathered[0][0].shape if gathered
+            else (batch_size, model.cfg.rcnn_test.max_per_img)
+        )
+        while len(gathered) < n_batches:
+            b, p = shape[0], shape[1]
+            gathered.append((
+                np.zeros((b, p, 4), np.float32), np.zeros((b, p), np.float32),
+                np.zeros((b, p), np.int32), np.zeros((b, p), bool),
+                np.full((b,), -1, np.int64),
+            ))
+        cat = [np.concatenate([g[j] for g in gathered]) for j in range(5)]
+        boxes, scores, labels, valid, ids = gather_detections(*cat)
+        detections = {}
+        for i, img_id in enumerate(ids):
+            if img_id < 0:
+                continue
+            m = valid[i]
+            detections[int(img_id)] = (boxes[i][m], scores[i][m], labels[i][m])
 
     gt = dataset.groundtruth()
     gt = {k: v for k, v in gt.items() if k in detections}

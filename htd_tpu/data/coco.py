@@ -207,18 +207,23 @@ def make_train_batch(
     max_gt: int = 100,
     flip_prob: float = 0.5,
     rng: Optional[np.random.RandomState] = None,
+    flips: Optional[Sequence[bool]] = None,
 ):
     """Load + augment + pad a train batch. Returns dict of arrays.
 
     One scale per batch (all images share the bucket), matching the static
     -shape requirement; the reference samples per image, which only changes
     the schedule of scales, not their distribution.
+
+    `flips` (optional) fixes the per-record flip decisions explicitly — the
+    multi-host path draws them for the GLOBAL batch on every process from
+    the shared epoch seed, then each host loads only its slice.
     """
     rng = rng or np.random.RandomState(0)
     bucket = bucket_shape(scale, records[0].landscape)
     imgs, shapes, gtb, gtl, gtv = [], [], [], [], []
-    for rec in records:
-        flip = bool(rng.rand() < flip_prob)
+    for i, rec in enumerate(records):
+        flip = bool(flips[i]) if flips is not None else bool(rng.rand() < flip_prob)
         p = preprocess(
             dataset.load_image(rec),
             scale=scale,

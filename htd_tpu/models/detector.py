@@ -144,7 +144,17 @@ class HTDDetector(nn.Module):
         (at test P == R and pos_rois == rois).
         """
         x_cls = self._roi_feats(feats4, rois)
-        enhanced = self.adpt_extractor(feats4, pos_rois)
+        # the BA extractor reuses each pos-roi's already-extracted mapped
+        # -level features (exact adaptive grid) for its own-level row; only
+        # off-target levels are sampled, at the cheaper adpt_max_samples
+        from htd_tpu.ops.boxes import map_roi_levels
+
+        tgt_feats = x_reg_feats if x_reg_feats is not None else x_cls
+        tgt_lvls = map_roi_levels(
+            pos_rois, len(self.cfg.roi_extractor.featmap_strides),
+            self.cfg.roi_extractor.finest_scale,
+        )
+        enhanced = self.adpt_extractor(feats4, pos_rois, tgt_feats, tgt_lvls)
         k0, b0 = self.stage0_head.cls_params()
         cls, reg = self.stage1_head(
             x_cls,

@@ -222,11 +222,17 @@ class HTDBBoxHead(nn.Module):
             x_reg = x_reg + c.alpha * enhanced_feat
 
         t = x_reg
+        lead = t.shape[:-3]  # (B, P)
+        # GroupNorm statistics are PER ROI (torch GN over (C/g, 7, 7) of each
+        # sample); flax GroupNorm reduces over every non-leading axis, so the
+        # roi axis must be folded into the batch axis first.
+        t = t.reshape((-1,) + t.shape[-3:])
         for i, cv in enumerate(self.reg_convs):
             t = cv(t)
             if i < len(self.reg_gns):
                 t = self.reg_gns[i](t)
             t = nn.relu(t)
+        t = t.reshape(lead + t.shape[-3:])
         t = t.mean(axis=(-3, -2))  # 7x7 avg pool -> (B, P, 1024)
         bbox_pred = self.fc_reg(t)
 

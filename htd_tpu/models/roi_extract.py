@@ -15,7 +15,7 @@ All functions take one image's (H_l, W_l, C) features + a fixed-capacity
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -68,16 +68,30 @@ class AdptRoIExtractor(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, feats: Sequence[Array], rois: Array) -> Array:
-        """feats: per-level (B, H, W, C); rois (B, R, 4) -> (B, R, 7, 7, C)."""
+    def __call__(
+        self,
+        feats: Sequence[Array],
+        rois: Array,
+        target_feats: Optional[Array] = None,
+        target_lvls: Optional[Array] = None,
+    ) -> Array:
+        """feats: per-level (B, H, W, C); rois (B, R, 4) -> (B, R, 7, 7, C).
+
+        target_feats/target_lvls (optional): each roi's SingleRoIExtractor
+        features on its mapped level ((B, R, 7, 7, C) / (B, R)) — already
+        computed by the cascade on the same rois. When given, they replace
+        the roi's own-level row of the all-level stack, so the dominant
+        -attention level keeps the exact adaptive-grid sampling while the
+        off-target levels use the cheaper `adpt_max_samples` clamp.
+        """
         att_conv1 = nn.Dense(128, dtype=self.dtype, name="att_conv1")
         att_conv2 = nn.Dense(1, dtype=self.dtype, name="att_conv2")
 
         # NOTE: the windowed Pallas kernel is a measured NO-WIN here (see
         # PERF.md): a large roi sampling a finer level intrinsically exceeds
         # any bounded window, so ~20% of (roi, level) pairs fall back to the
-        # gather anyway. The XLA pyramid-gather at S=2 stays the fastest
-        # correct implementation for the all-level pattern.
+        # gather anyway. The XLA pyramid-gather stays the fastest correct
+        # implementation for the off-target-level pattern.
         num_levels = len(self.cfg.featmap_strides)
         per_level = []
         for lvl, stride in enumerate(self.cfg.featmap_strides):
@@ -90,6 +104,9 @@ class AdptRoIExtractor(nn.Module):
                 max_samples=self.cfg.adpt_max_samples,
             )
             rf = jax.vmap(align)(feats[lvl], rois)  # (B, R, 7, 7, C)
+            if target_feats is not None:
+                sel = (target_lvls == lvl)[..., None, None, None]
+                rf = jnp.where(sel, target_feats.astype(rf.dtype), rf)
             per_level.append(rf)
 
         att_logits = []

@@ -303,6 +303,203 @@ def roi_align_pallas(
     )(yblk, xblk, params, *([pyr] * (Y_STRIPS * X_BLOCKS)))
 
 
+def roi_align_pallas_v3(
+    feats: Sequence[Array],
+    rois: Array,
+    strides: Sequence[int],
+    target_lvls: Array,
+    out_size: int = 7,
+    sampling_ratio: int = 0,
+    max_samples: int = 4,
+    interpret: bool = False,
+    sort_rois: bool = True,
+    y_block: int = 16,
+    n_y: int = 4,
+    x_block: int = 64,
+    n_x: int = 2,
+    pack: int = 2,
+) -> Array:
+    """v3 window kernel: multi-roi grid steps + strip accumulation.
+
+    Differences vs `roi_align_pallas` (v2), both addressing measured limits:
+      * `pack` rois per grid step — the v2 kernel was grid-step-overhead
+        bound (~8 us/roi, PERF.md); packing halves/quarters the step count.
+      * the (WIN_H, WIN_W, C) window is never materialized: each (ky, kx)
+        pipeline block is contracted against its slice of the interpolation
+        matrices and accumulated — scoped VMEM stays small enough for f32
+        (v2 exceeded the 16 MB scoped limit in f32 and could not compile).
+      * block geometry is parameterized; the default 64x128 window covers
+        y extent <= 64 - y_block - 2, x extent <= 62 (same fallback contract
+        as v2, handled by roi_align_fused).
+
+    Spec-count budget: pack * n_y * n_x + 2 <= ~20 (platform Mosaic limit).
+    """
+    if sort_rois:
+        order = _window_sort_order(feats, rois, strides, target_lvls)
+        out = roi_align_pallas_v3(
+            list(feats), rois[order], strides, target_lvls[order],
+            out_size=out_size, sampling_ratio=sampling_ratio,
+            max_samples=max_samples, interpret=interpret, sort_rois=False,
+            y_block=y_block, n_y=n_y, x_block=x_block, n_x=n_x, pack=pack,
+        )
+        return out[jnp.argsort(order)]
+
+    win_h, win_w = n_y * y_block, n_x * x_block
+    c = feats[0].shape[-1]
+    r = rois.shape[0]
+    f32 = jnp.float32
+    r_pad = (r + pack - 1) // pack * pack
+    grid = r_pad // pack
+
+    pyr, offsets, w_pad, rows_pad = _build_pyramid(feats, win_h, win_w)
+
+    scales = jnp.asarray([1.0 / s for s in strides], f32)[target_lvls]
+    rois = rois.astype(f32)
+    start_w = rois[:, 0] * scales - 0.5
+    start_h = rois[:, 1] * scales - 0.5
+    bin_w = (rois[:, 2] - rois[:, 0]) * scales / out_size
+    bin_h = (rois[:, 3] - rois[:, 1]) * scales / out_size
+    if sampling_ratio > 0:
+        s_max = sampling_ratio
+        grid_w = jnp.full((r,), sampling_ratio, f32)
+        grid_h = jnp.full((r,), sampling_ratio, f32)
+    else:
+        s_max = max_samples
+        grid_w = jnp.clip(jnp.ceil(bin_w), 0, s_max)
+        grid_h = jnp.clip(jnp.ceil(bin_h), 0, s_max)
+
+    hs = jnp.asarray([float(f.shape[0]) for f in feats], f32)[target_lvls]
+    ws = jnp.asarray([float(f.shape[1]) for f in feats], f32)[target_lvls]
+    row_off = jnp.asarray(np.asarray(offsets, np.float32))[target_lvls]
+
+    y_lo = jnp.clip(jnp.floor(jnp.maximum(start_h, 0.0)), 0.0, jnp.maximum(hs - 1, 0.0))
+    x_lo = jnp.clip(jnp.floor(jnp.maximum(start_w, 0.0)), 0.0, jnp.maximum(ws - 1, 0.0))
+    yblk = jnp.clip(
+        jnp.floor((row_off + y_lo) / y_block), 0.0, (rows_pad - win_h) / y_block
+    ).astype(jnp.int32)
+    xblk = jnp.clip(
+        jnp.floor(x_lo / x_block), 0.0, (w_pad - win_w) / x_block
+    ).astype(jnp.int32)
+
+    params = jnp.stack(
+        [start_h, start_w, bin_h, bin_w, grid_h, grid_w, hs, ws, row_off,
+         yblk.astype(f32) * y_block, xblk.astype(f32) * x_block],
+        axis=1,
+    )  # (R, 11)
+    params = jnp.pad(params, ((0, r_pad - r), (0, 128 - params.shape[1])))
+    yblk = jnp.pad(yblk, (0, r_pad - r))
+    xblk = jnp.pad(xblk, (0, r_pad - r))
+
+    if interpret:
+        # jnp emulation (interpret mode lacks scalar-prefetch support)
+        def one(yb, xb, st_h, st_w, b_h, b_w, g_h, g_w, s_h, s_w, ro):
+            win = jax.lax.dynamic_slice(
+                pyr, (yb * y_block, xb * x_block, 0), (win_h, win_w, c)
+            )
+            ay = _interp_matrix(
+                st_h, b_h, g_h, s_h,
+                yb.astype(f32) * y_block - ro, win_h, out_size, s_max)
+            ax = _interp_matrix(
+                st_w, b_w, g_w, s_w,
+                xb.astype(f32) * x_block, win_w, out_size, s_max)
+            count = jnp.maximum(g_h * g_w, 1.0)
+            wf = win.reshape(win_h, win_w * c).astype(f32)
+            tmp = jnp.dot(ay, wf).reshape(out_size, win_w, c)
+            out = jnp.einsum("xp,ypc->yxc", ax, tmp) / count
+            return out.astype(feats[0].dtype)
+
+        return jax.lax.map(
+            lambda t: one(*t),
+            (yblk[:r], xblk[:r], start_h, start_w, bin_h, bin_w,
+             grid_h, grid_w, hs, ws, row_off),
+        )
+
+    def kernel(yblk_ref, xblk_ref, params_ref, *refs):
+        del yblk_ref, xblk_ref
+        blocks = refs[: pack * n_y * n_x]
+        out_ref = refs[pack * n_y * n_x]
+        for j in range(pack):
+            sth = params_ref[j, 0]
+            stw = params_ref[j, 1]
+            bh = params_ref[j, 2]
+            bw = params_ref[j, 3]
+            gh = params_ref[j, 4]
+            gw = params_ref[j, 5]
+            size_h = params_ref[j, 6]
+            size_w = params_ref[j, 7]
+            roff = params_ref[j, 8]
+            y_origin = params_ref[j, 9]
+            x_origin = params_ref[j, 10]
+
+            ay = _interp_matrix(
+                sth, bh, gh, size_h, y_origin - roff, win_h, out_size, s_max)
+            ax = _interp_matrix(
+                stw, bw, gw, size_w, x_origin, win_w, out_size, s_max)
+            count = jnp.maximum(gh * gw, 1.0)
+
+            acc = jnp.zeros((out_size, out_size, c), f32)
+            for kx in range(n_x):
+                m = jnp.zeros((out_size, x_block * c), f32)
+                for ky in range(n_y):
+                    blk = blocks[(j * n_y + ky) * n_x + kx][:]
+                    m = m + jnp.dot(
+                        ay[:, ky * y_block:(ky + 1) * y_block],
+                        blk.reshape(y_block, x_block * c).astype(f32),
+                        preferred_element_type=f32,
+                    )
+                part = jax.lax.dot_general(
+                    ax[:, kx * x_block:(kx + 1) * x_block],
+                    m.reshape(out_size, x_block, c),
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=f32,
+                )  # (7_x, 7_y, C)
+                acc = acc + jnp.swapaxes(part, 0, 1)
+            out_ref[j] = (acc / count).astype(out_ref.dtype)
+
+    block_specs = []
+    for j in range(pack):
+        for ky in range(n_y):
+            for kx in range(n_x):
+                block_specs.append(
+                    pl.BlockSpec(
+                        (y_block, x_block, c),
+                        functools.partial(
+                            lambda i, yb, xb, j, ky, kx: (
+                                yb[i * pack + j] + ky, xb[i * pack + j] + kx, 0
+                            ),
+                            j=j, ky=ky, kx=kx,
+                        ),
+                        memory_space=pltpu.VMEM,
+                    )
+                )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((pack, 128), lambda i, yb, xb: (i, 0),
+                         memory_space=pltpu.SMEM)
+        ]
+        + block_specs,
+        out_specs=pl.BlockSpec(
+            (pack, out_size, out_size, c),
+            lambda i, yb, xb: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (r_pad, out_size, out_size, c), feats[0].dtype
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(yblk, xblk, params, *([pyr] * (pack * n_y * n_x)))
+    return out[:r]
+
+
 def adpt_align_pallas(
     feats: Sequence[Array],
     rois: Array,

@@ -1,0 +1,116 @@
+"""Worker for the 2-process jax.distributed CPU test.
+
+Runs N train steps of the full HTD train step (depth-10 backbone for speed)
+over a global mesh formed from `num_processes` x `local_devices` CPU
+devices, using the SAME per-host data path as tools/train.py
+(host_slice + make_global_batch). Writes the loss sequence as json.
+
+Usage: python multihost_worker.py <pid> <nproc> <port> <out.json>
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    pid, nproc, port, out = (
+        int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4])
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 4 // nproc)
+    jax.config.update("jax_default_matmul_precision", "highest")
+    if nproc > 1:
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        jax.distributed.initialize(
+            coordinator_address=f"127.0.0.1:{port}",
+            num_processes=nproc,
+            process_id=pid,
+        )
+    import dataclasses
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from htd_tpu import config as C
+    from htd_tpu.parallel.mesh import (
+        host_slice,
+        make_global_batch,
+        make_mesh,
+        replicated,
+    )
+    from htd_tpu.train.train_step import (
+        TrainBatch,
+        create_train_state,
+        make_jitted_train_step,
+    )
+
+    cfg = C.htd_r50_1x()
+    cfg = cfg.replace(
+        backbone=dataclasses.replace(cfg.backbone, depth=10),
+        roi_extractor=dataclasses.replace(cfg.roi_extractor, impl="gather"),
+        train=dataclasses.replace(
+            cfg.train,
+            rpn_proposal=C.ProposalConfig(
+                nms_pre=512, nms_post=512, max_num=512),
+        ),
+    )
+
+    # deterministic GLOBAL batch, identical on every process
+    g = 4  # global batch = total devices
+    rng = np.random.RandomState(0)
+    h, w = 64, 96
+    images = rng.normal(0, 1, (g, h, w, 3)).astype(np.float32)
+    shapes = np.tile([[60.0, 90.0]], (g, 1)).astype(np.float32)
+    max_gt = cfg.train.max_gt
+    gt_boxes = np.zeros((g, max_gt, 4), np.float32)
+    gt_labels = np.zeros((g, max_gt), np.int32)
+    gt_valid = np.zeros((g, max_gt), bool)
+    for i in range(g):
+        for k in range(4):
+            x1, y1 = rng.uniform(0, 50), rng.uniform(0, 30)
+            gt_boxes[i, k] = [x1, y1, x1 + rng.uniform(10, 30),
+                              y1 + rng.uniform(10, 25)]
+            gt_labels[i, k] = rng.randint(0, cfg.num_classes)
+            gt_valid[i, k] = True
+
+    def local(x):
+        return np.asarray(host_slice(list(x), pid, nproc))
+
+    sample = TrainBatch(
+        images=jnp.asarray(images[:1]), img_shapes=jnp.asarray(shapes[:1]),
+        gt_boxes=jnp.asarray(gt_boxes[:1]), gt_labels=jnp.asarray(gt_labels[:1]),
+        gt_valid=jnp.asarray(gt_valid[:1]),
+    )
+    model, state, tx = create_train_state(
+        cfg, jax.random.PRNGKey(0), sample, steps_per_epoch=100)
+
+    mesh = make_mesh()
+    step_fn = make_jitted_train_step(model, tx, mesh=mesh)
+    state = jax.device_put(state, replicated(mesh))
+
+    losses = []
+    base_rng = jax.random.PRNGKey(1)
+    for it in range(3):
+        imgs = local(images) + it * 1e-3  # vary input per step
+        batch = make_global_batch(mesh, TrainBatch(
+            images=imgs,
+            img_shapes=local(shapes),
+            gt_boxes=local(gt_boxes),
+            gt_labels=local(gt_labels),
+            gt_valid=local(gt_valid),
+        ))
+        state, metrics = step_fn(state, batch, base_rng)
+        losses.append(float(metrics["loss"]))
+
+    if pid == 0:
+        with open(out, "w") as f:
+            json.dump(losses, f)
+    print(f"proc {pid} done: {losses}")
+
+
+if __name__ == "__main__":
+    main()

@@ -148,3 +148,54 @@ def np_delta2bbox(rois, deltas, means, stds, max_shape=None, wh_clip=16 / 1000):
         boxes[:, 0::2] = np.clip(boxes[:, 0::2], 0, max_shape[1])
         boxes[:, 1::2] = np.clip(boxes[:, 1::2], 0, max_shape[0])
     return boxes
+
+
+def np_roi_align_fast(feat_hwc, rois, spatial_scale, out_size, sampling_ratio):
+    """Vectorized np_roi_align (separable bilinear per roi).
+
+    Numerically identical to the loop version (tested in
+    test_roi_align.py::test_fast_oracle_matches_loop); used by the torch
+    mirror so the e2e parity suite stays fast.
+    """
+    h, w, c = feat_hwc.shape
+    feat = feat_hwc.astype(np.float64)
+    out = np.zeros((rois.shape[0], out_size, out_size, c), np.float64)
+
+    def axis_samples(start, bin_sz, grid, size):
+        # coords (out_size * grid,)
+        p = np.arange(out_size)[:, None]
+        i = np.arange(grid)[None, :]
+        coord = start + (p + (i + 0.5) / grid) * bin_sz
+        coord = coord.reshape(-1)
+        inside = (coord >= -1.0) & (coord <= size)
+        cc = np.maximum(coord, 0.0)
+        low = np.minimum(np.floor(cc), size - 1).astype(np.int64)
+        high = np.minimum(low + 1, size - 1)
+        frac = np.where(cc >= size - 1, 0.0, cc - low)
+        return low, high, frac, inside
+
+    for ri in range(rois.shape[0]):
+        x1, y1, x2, y2 = rois[ri]
+        start_w = x1 * spatial_scale - 0.5
+        start_h = y1 * spatial_scale - 0.5
+        roi_w = (x2 - x1) * spatial_scale
+        roi_h = (y2 - y1) * spatial_scale
+        bin_w, bin_h = roi_w / out_size, roi_h / out_size
+        if sampling_ratio > 0:
+            gw = gh = sampling_ratio
+        else:
+            gw = max(int(np.ceil(roi_w / out_size)), 1)
+            gh = max(int(np.ceil(roi_h / out_size)), 1)
+        yl, yh, fy, iny = axis_samples(start_h, bin_h, gh, h)
+        xl, xh, fx, inx = axis_samples(start_w, bin_w, gw, w)
+        # separable bilinear: rows first, then cols
+        rowv = (1 - fy)[:, None, None] * feat[yl] + fy[:, None, None] * feat[yh]
+        rowv = np.where(iny[:, None, None], rowv, 0.0)
+        vals = (
+            (1 - fx)[None, :, None] * rowv[:, xl]
+            + fx[None, :, None] * rowv[:, xh]
+        )
+        vals = np.where(inx[None, :, None], vals, 0.0)
+        vals = vals.reshape(out_size, gh, out_size, gw, c)
+        out[ri] = vals.sum(axis=(1, 3)) / (gh * gw)
+    return out

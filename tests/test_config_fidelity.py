@@ -89,3 +89,28 @@ def test_stage_coders_and_sampling():
         assert (s.sampler.num, s.sampler.pos_fraction) == (512, 0.25)
         assert s.sampler.add_gt_as_proposals
     assert t.stage_loss_weights == (1.0, 0.5)
+
+
+def test_apply_overrides():
+    cfg = C.apply_overrides(C.htd_r50_1x(), [
+        "train.lr=0.01", "compute_dtype=bfloat16", "train.lr_steps=16,22",
+        "rcnn_test.use_soft_nms=true", "train.grad_clip_norm=35",
+        "test_scale=1600,800", "backbone.stage_with_dcn=1,1,1,1",
+    ])
+    assert cfg.train.lr == 0.01
+    assert cfg.compute_dtype == "bfloat16"
+    assert cfg.train.lr_steps == (16, 22)
+    assert cfg.rcnn_test.use_soft_nms
+    assert cfg.train.grad_clip_norm == 35.0
+    assert cfg.test_scale == (1600, 800)
+    # untouched siblings survive
+    assert cfg.train.momentum == 0.9
+    assert cfg.stage1_head.gn_groups == 36
+
+
+def test_dump_config_roundtrippable_json():
+    import json
+
+    d = json.loads(C.dump_config(C.htd_x101_dcn_2x()))
+    assert d["backbone"]["groups"] == 64
+    assert d["test_scale"] == [1600, 800]

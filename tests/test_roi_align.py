@@ -194,3 +194,18 @@ def test_adpt_align_trainable_interpret(rng):
             np.asarray(out[:, l]), np.asarray(ref), rtol=1e-4, atol=1e-5,
             err_msg=f"level {l}",
         )
+
+
+def test_fast_oracle_matches_loop(rng):
+    from tests.oracles import np_roi_align_fast
+
+    feat = rng.normal(0, 1, (19, 23, 5))
+    rois = np.stack([
+        rng.uniform(-30, 80, 16), rng.uniform(-30, 60, 16),
+        rng.uniform(0, 120, 16), rng.uniform(0, 100, 16)], 1)
+    rois[:, 2] = rois[:, 0] + np.abs(rois[:, 2] - rois[:, 0]) + 1
+    rois[:, 3] = rois[:, 1] + np.abs(rois[:, 3] - rois[:, 1]) + 1
+    for sr in (0, 2):
+        a = np_roi_align(feat, rois, 0.25, 7, sr)
+        b = np_roi_align_fast(feat, rois, 0.25, 7, sr)
+        assert np.abs(a - b).max() < 1e-12

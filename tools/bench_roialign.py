@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Micro-benchmark: RoIAlign kernel variants on the real TPU.
+
+Slope timing (N iterations inside one jit, CSE defeated) — see PERF.md.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def slope(run_n, n_small=2, n_big=12, repeats=3):
+    float(run_n(1))
+
+    def timed(n):
+        t0 = time.perf_counter()
+        float(run_n(n))
+        return time.perf_counter() - t0
+
+    t1 = min(timed(n_small) for _ in range(repeats))
+    t2 = min(timed(n_big) for _ in range(repeats))
+    return (t2 - t1) / (n_big - n_small)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--rois", type=int, default=1000)
+    p.add_argument("--height", type=int, default=800)
+    p.add_argument("--width", type=int, default=1344)
+    p.add_argument("--dtype", default="bfloat16")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from htd_tpu.ops.boxes import map_roi_levels
+    from htd_tpu.ops.roi_align import roi_align_pyramid
+    from htd_tpu.ops import roi_align_pallas as rap
+
+    dt = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    rng = np.random.RandomState(0)
+    strides = (4, 8, 16, 32)
+    h, w = args.height, args.width
+    feats = [
+        jnp.asarray(rng.normal(0, 1, (h // s, w // s, 256)).astype(np.float32), dt)
+        for s in strides
+    ]
+    # realistic roi distribution: mostly small, some large, ar in [0.5, 2]
+    n = args.rois
+    scale = np.exp(rng.uniform(np.log(16), np.log(480), n))
+    ar = np.exp(rng.uniform(np.log(0.5), np.log(2.0), n))
+    bw = np.minimum(scale * np.sqrt(ar), w - 2)
+    bh = np.minimum(scale / np.sqrt(ar), h - 2)
+    x1 = rng.uniform(0, w - bw)
+    y1 = rng.uniform(0, h - bh)
+    rois = jnp.asarray(np.stack([x1, y1, x1 + bw, y1 + bh], 1).astype(np.float32))
+    lvls = map_roi_levels(rois, 4)
+
+    ref = None
+    variants = {
+        "pyramid_gather_s4": lambda r, l: roi_align_pyramid(
+            feats, r, strides, l, max_samples=4),
+        "v2_pallas": lambda r, l: rap.roi_align_fused(
+            feats, r, strides, l, max_samples=4),
+    }
+    for pack, ny, yb in ((1, 4, 16), (2, 4, 16), (2, 7, 8), (4, 2, 32)):
+        name = f"v3_p{pack}_y{ny}x{yb}"
+        variants[name] = (
+            lambda r, l, pack=pack, ny=ny, yb=yb: rap.roi_align_pallas_v3(
+                feats, r, strides, l, max_samples=4,
+                y_block=yb, n_y=ny, pack=pack)
+        )
+
+    for name, fn in variants.items():
+        try:
+            @jax.jit
+            def run_n(r, l, n):
+                def body(i, acc):
+                    out = fn(r + i.astype(r.dtype) * 1e-9, l)
+                    return acc + jnp.sum(out.astype(jnp.float32))
+                return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
+
+            # correctness vs gather (window rois only; fallback covers rest
+            # in v2/fused — raw v3 has no fallback, so compare on the
+            # non-overflow subset)
+            out = jax.jit(fn)(rois, lvls)
+            if ref is None:
+                ref = np.asarray(out, np.float32)
+                err = 0.0
+                nbad = 0
+            else:
+                scales = np.asarray([1.0 / s for s in strides])[np.asarray(lvls)]
+                ew = (np.asarray(rois)[:, 2] - np.asarray(rois)[:, 0]) * scales
+                eh = (np.asarray(rois)[:, 3] - np.asarray(rois)[:, 1]) * scales
+                okmask = (ew + 64 + 2 <= 128) & (eh + 16 + 2 <= 64)
+                o = np.asarray(out, np.float32)
+                d = np.abs(o - ref).max(axis=(1, 2, 3))
+                err = float(d[okmask].max())
+                nbad = int((d[okmask] > 0.05).sum())
+            ms = slope(lambda k: run_n(rois, lvls, k)) * 1000
+            print(f"{name:24s} {ms:7.2f} ms  max_err(win)={err:.4f} bad={nbad}")
+        except Exception as e:
+            print(f"{name:24s} FAILED: {str(e)[:200]}")
+
+
+if __name__ == "__main__":
+    main()

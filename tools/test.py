@@ -32,6 +32,11 @@ def main():
     p.add_argument("--aug-scales", nargs="+", default=None,
                    help="TTA scales as WxH, e.g. 1600x800 1600x1000 "
                         "(default: the config's test_scale)")
+    p.add_argument(
+        "--set", dest="cfg_options", nargs="+", default=[],
+        help="config overrides as dotted.path=value, e.g. "
+             "--set rcnn_test.score_thr=0.01",
+    )
     p.add_argument("--scale", default=None,
                    help="override test img_scale as WxH "
                         "(default: the config's test_scale, e.g. 1600x800 "
@@ -45,6 +50,8 @@ def main():
     cfg = getattr(C, args.config)()
     if args.bf16:
         cfg = cfg.replace(compute_dtype="bfloat16")
+    if args.cfg_options:
+        cfg = C.apply_overrides(cfg, args.cfg_options)
     scale = (
         tuple(int(v) for v in args.scale.split("x"))
         if args.scale else cfg.test_scale

@@ -44,6 +44,11 @@ def parse_args():
              "(TPU pods; the reference's dist_train.sh/slurm equivalent)",
     )
     p.add_argument(
+        "--set", dest="cfg_options", nargs="+", default=[],
+        help="config overrides as dotted.path=value (the reference's "
+             "--cfg-options), e.g. --set train.lr=0.01 compute_dtype=bfloat16",
+    )
+    p.add_argument(
         "--mstrain", action="store_true",
         help="force multi-scale train (short side uniform in [400,1400], "
              "long 1600) even if the config preset doesn't carry a range; "
@@ -67,7 +72,12 @@ def main():
         make_train_batch,
         sample_mstrain_scale,
     )
-    from htd_tpu.parallel.mesh import make_mesh, replicated, shard_pytree_batch
+    from htd_tpu.parallel.mesh import (
+        host_slice,
+        make_global_batch,
+        make_mesh,
+        replicated,
+    )
     from htd_tpu.train.checkpoint import (
         load_torch_checkpoint,
         restore_checkpoint,
@@ -82,7 +92,13 @@ def main():
     cfg = getattr(C, args.config)()
     if args.bf16:
         cfg = cfg.replace(compute_dtype="bfloat16")
+    if args.cfg_options:
+        cfg = C.apply_overrides(cfg, args.cfg_options)
     os.makedirs(args.work_dir, exist_ok=True)
+    # archive the resolved config (reference tools/train.py:124 cfg.dump)
+    if jax.process_index() == 0:
+        with open(os.path.join(args.work_dir, "config.json"), "w") as f:
+            f.write(C.dump_config(cfg))
 
     dataset = CocoDataset(args.train_ann, args.train_img, test_mode=False)
     steps_per_epoch = max(len(dataset) // args.batch_size, 1)
@@ -154,10 +170,18 @@ def main():
                 if mstrain_range is not None
                 else cfg.train.img_scale
             )
+            # flips drawn for the GLOBAL batch from the shared epoch stream,
+            # then each host loads only its slice — every process sees the
+            # same schedule, so the global batch is identical to the
+            # single-process run (DistributedGroupSampler determinism).
+            flips = rng.rand(len(records)) < 0.5
+            local = host_slice(records)
+            local_flips = host_slice(list(flips))
             np_batch = make_train_batch(
-                dataset, records, scale=scale, max_gt=cfg.train.max_gt, rng=rng
+                dataset, local, scale=scale, max_gt=cfg.train.max_gt,
+                flips=local_flips,
             )
-            batch = shard_pytree_batch(mesh, TrainBatch(
+            batch = make_global_batch(mesh, TrainBatch(
                 images=np_batch["images"],
                 img_shapes=np_batch["img_shapes"],
                 gt_boxes=np_batch["gt_boxes"],
@@ -165,7 +189,7 @@ def main():
                 gt_valid=np_batch["gt_valid"],
             ))
             state, metrics = step_fn(state, batch, base_rng)
-            if (it + 1) % args.log_interval == 0:
+            if (it + 1) % args.log_interval == 0 and jax.process_index() == 0:
                 m = {k: round(float(v), 4) for k, v in metrics.items()}
                 m.update(epoch=epoch + 1, iter=it + 1,
                          time=round(time.time() - t0, 1))
@@ -173,9 +197,10 @@ def main():
                 with open(log_path, "a") as f:
                     f.write(json.dumps(m) + "\n")
         ckpt = os.path.join(args.work_dir, f"epoch_{epoch + 1}")
-        save_checkpoint(ckpt, jax.device_get(state))
-        print(f"saved {ckpt}")
-        if args.val_ann:
+        if jax.process_index() == 0:
+            save_checkpoint(ckpt, jax.device_get(state))
+            print(f"saved {ckpt}")
+        if args.val_ann and jax.process_index() == 0:
             from htd_tpu.apis import evaluate_dataset
             from htd_tpu.data.coco import CocoDataset as CD
 
