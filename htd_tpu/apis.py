@@ -178,6 +178,67 @@ def aug_inference_detector(
     return np.asarray(db)[v], np.asarray(ds)[v], np.asarray(dl)[v]
 
 
+def evaluate_proposals(
+    model,
+    variables,
+    dataset,
+    batch_size: int = 8,
+    scale: Optional[Tuple[int, int]] = None,
+    max_images: Optional[int] = None,
+    proposal_nums: Sequence[int] = (100, 300, 1000),
+):
+    """Standalone RPN proposal-recall eval (reference 'proposal_fast'
+    metric: CocoDataset.evaluate -> fast_eval_recall, coco.py:312-330,
+    and the RPN proposal-only detector, detectors/rpn.py).
+
+    Returns {'AR@100': ..., 'AR@300': ..., 'AR@1000': ...} at IoU
+    0.5:0.95 (the reference's eval_recalls default thresholds).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from htd_tpu.data.coco import grouped_batches, make_test_batch
+    from htd_tpu.data.mean_ap import eval_recalls
+
+    scale = scale or model.cfg.test_scale
+
+    @jax.jit
+    def fwd(v, images, img_shapes):
+        return model.apply(v, images, img_shapes, method=model.rpn_proposals)
+
+    gt = dataset.groundtruth()
+    gts, props = [], []
+    seen = 0
+    for records in grouped_batches(dataset, batch_size, shuffle=False):
+        if max_images is not None and seen >= max_images:
+            break
+        images, shapes, sfs, ids = make_test_batch(
+            dataset, records, scale=scale, batch_size=batch_size
+        )
+        boxes, scores, valid = fwd(
+            variables, jnp.asarray(images), jnp.asarray(shapes)
+        )
+        boxes = np.asarray(boxes)
+        scores = np.asarray(scores)
+        valid = np.asarray(valid)
+        for i, img_id in enumerate(ids):
+            if img_id < 0:
+                continue
+            m = valid[i]
+            # proposals are in the resized frame; recall is evaluated in
+            # original-image coords like the reference (rescale by sf)
+            b = boxes[i][m] / np.asarray(sfs[i], np.float32)
+            s = scores[i][m]
+            props.append(np.concatenate([b, s[:, None]], axis=1))
+            g_boxes, _, g_crowd = gt[int(img_id)]
+            gts.append(g_boxes[~g_crowd])  # crowds excluded (reference
+            # fast_eval_recall uses get_ann_info bboxes, non-crowd only)
+            seen += 1
+    iou_thrs = np.arange(0.5, 0.96, 0.05)
+    rec = eval_recalls(gts, props, proposal_nums, iou_thrs)
+    return {f"AR@{n}": float(rec[i].mean()) for i, n in enumerate(proposal_nums)}
+
+
 def evaluate_dataset(
     model,
     variables,

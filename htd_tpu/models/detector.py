@@ -225,6 +225,41 @@ class HTDDetector(nn.Module):
         )
         return Detections(db, ds, dl, dv)
 
+    def profile_prefix(self, images, img_shapes, scale_factors, upto):
+        """Scalar-summarized pipeline prefix, for stage-budget timing
+        (tools/bench_stages.py). `upto` is a trace-time string."""
+        c = self.cfg
+        if upto == "full":
+            dets = self.simple_test(images, img_shapes, scale_factors)
+            return (
+                jnp.sum(dets.scores)
+                + jnp.sum(dets.boxes) * 1e-6
+                + jnp.sum(dets.labels).astype(jnp.float32) * 1e-6
+            )
+        feats = self.extract_feats(images)
+        if upto == "backbone_fpn":
+            return sum(jnp.sum(f.astype(jnp.float32)) for f in feats)
+        feats4 = feats[: len(c.roi_extractor.featmap_strides)]
+        rpn_scores, rpn_deltas = self.rpn_head(feats)
+        props, prop_scores, prop_valid = gen_proposals(
+            rpn_scores, rpn_deltas, self.anchor_gen, img_shapes, c.proposal_test
+        )
+        if upto == "rpn_proposals":
+            return jnp.sum(props) * 1e-6 + jnp.sum(prop_scores)
+        _, global_feat = self._global(feats)
+        if upto == "stage0_extract":
+            rf = self._roi_feats(feats4, props)
+            return jnp.sum(rf.astype(jnp.float32)) * 1e-6
+        s0_cls, s0_reg = self._stage0(feats4, props, global_feat)
+        if upto == "stage0":
+            return jnp.sum(s0_cls) * 1e-6 + jnp.sum(s0_reg) * 1e-6
+        rois1 = self._refine(props, s0_cls, s0_reg, img_shapes)
+        s1_cls, s1_reg, _ = self._stage1(
+            feats4, rois1, prop_valid, rois1, None, global_feat
+        )
+        assert upto == "stage1", f"unknown profile prefix {upto!r}"
+        return jnp.sum(s1_cls) * 1e-6 + jnp.sum(s1_reg) * 1e-6
+
     # ------------------------------------------------------------------
     # TTA pieces (reference aug_test, htd_roi_head.py:388-441)
     # ------------------------------------------------------------------

@@ -99,3 +99,28 @@ def test_evaluate_dataset_end_to_end(mini_coco):
     img = np.zeros((60, 90, 3), np.uint8)
     boxes, scores, labels = inference_detector(model, variables, img, scale=(96, 64))
     assert boxes.shape[1] == 4
+
+
+@pytest.mark.slow
+def test_evaluate_proposals_end_to_end(mini_coco):
+    """Standalone RPN proposal-recall eval (reference 'proposal_fast')."""
+    from htd_tpu.apis import evaluate_proposals
+
+    ann, img_root = mini_coco
+    ds = CocoDataset(ann, img_root, test_mode=True)
+    cfg = tiny_config()
+    model = HTDDetector(cfg)
+    init = jax.jit(lambda r, im, sh, sf: model.init({"params": r}, im, sh, sf))
+    variables = init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 96, 3)),
+        jnp.asarray([[64.0, 96.0]]), jnp.ones((1, 4)),
+    )
+    metrics = evaluate_proposals(
+        model, variables, ds, batch_size=3, scale=(96, 64),
+        proposal_nums=(10, 100),
+    )
+    assert set(metrics) == {"AR@10", "AR@100"}
+    for v in metrics.values():
+        assert 0.0 <= v <= 1.0
+    # more proposals can only improve recall
+    assert metrics["AR@100"] >= metrics["AR@10"] - 1e-9

@@ -62,21 +62,31 @@ def main():
     lvls = map_roi_levels(rois, 4)
 
     ref = None
+    # window margins per variant for the correctness mask:
+    # covered extent = (n*blk - blk - 2) on each axis
     variants = {
-        "pyramid_gather_s4": lambda r, l: roi_align_pyramid(
-            feats, r, strides, l, max_samples=4),
-        "v2_pallas": lambda r, l: rap.roi_align_fused(
-            feats, r, strides, l, max_samples=4),
+        "pyramid_gather_s4": (lambda r, l: roi_align_pyramid(
+            feats, r, strides, l, max_samples=4), None),
+        "v2_pallas": (lambda r, l: rap.roi_align_fused(
+            feats, r, strides, l, max_samples=4), (8, 56, 64, 128)),
     }
-    for pack, ny, yb in ((1, 4, 16), (2, 4, 16), (2, 7, 8), (4, 2, 32)):
-        name = f"v3_p{pack}_y{ny}x{yb}"
+    for pack, ny, yb, nx, xb in (
+        (1, 4, 16, 2, 64),   # 64x128 window (round-2 baseline geometry)
+        (1, 4, 16, 3, 32),   # 64x96: same coverage, 25% less x traffic
+        (1, 7, 8, 3, 32),    # 56x96: v2 y coverage, minimal traffic (23 specs)
+        (1, 6, 8, 3, 32),    # 48x96: y coverage 38 px (vs 46) — more fallback
+        (2, 4, 16, 3, 32),   # packed 64x96 (26 specs — may exceed Mosaic cap)
+    ):
+        name = f"v3_p{pack}_y{ny}x{yb}_x{nx}x{xb}"
         variants[name] = (
-            lambda r, l, pack=pack, ny=ny, yb=yb: rap.roi_align_pallas_v3(
+            lambda r, l, pack=pack, ny=ny, yb=yb, nx=nx, xb=xb:
+            rap.roi_align_pallas_v3(
                 feats, r, strides, l, max_samples=4,
-                y_block=yb, n_y=ny, pack=pack)
+                y_block=yb, n_y=ny, x_block=xb, n_x=nx, pack=pack),
+            (yb, ny * yb, xb, nx * xb),
         )
 
-    for name, fn in variants.items():
+    for name, (fn, win) in variants.items():
         try:
             @jax.jit
             def run_n(r, l, n):
@@ -93,19 +103,23 @@ def main():
                 ref = np.asarray(out, np.float32)
                 err = 0.0
                 nbad = 0
+                cov = 1.0
             else:
+                yb, wh, xb, ww = win
                 scales = np.asarray([1.0 / s for s in strides])[np.asarray(lvls)]
                 ew = (np.asarray(rois)[:, 2] - np.asarray(rois)[:, 0]) * scales
                 eh = (np.asarray(rois)[:, 3] - np.asarray(rois)[:, 1]) * scales
-                okmask = (ew + 64 + 2 <= 128) & (eh + 16 + 2 <= 64)
+                okmask = (ew + xb + 2 <= ww) & (eh + yb + 2 <= wh)
+                cov = float(okmask.mean())
                 o = np.asarray(out, np.float32)
                 d = np.abs(o - ref).max(axis=(1, 2, 3))
                 err = float(d[okmask].max())
                 nbad = int((d[okmask] > 0.05).sum())
             ms = slope(lambda k: run_n(rois, lvls, k)) * 1000
-            print(f"{name:24s} {ms:7.2f} ms  max_err(win)={err:.4f} bad={nbad}")
+            print(f"{name:28s} {ms:7.2f} ms  max_err(win)={err:.4f} "
+                  f"bad={nbad} win_cover={cov:.3f}")
         except Exception as e:
-            print(f"{name:24s} FAILED: {str(e)[:200]}")
+            print(f"{name:28s} FAILED: {str(e)[:200]}")
 
 
 if __name__ == "__main__":

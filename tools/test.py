@@ -41,6 +41,11 @@ def main():
                    help="override test img_scale as WxH "
                         "(default: the config's test_scale, e.g. 1600x800 "
                         "for htd_x101_dcn_2x)")
+    p.add_argument(
+        "--eval", default="bbox", choices=["bbox", "proposal"],
+        help="'bbox' = COCO mAP; 'proposal' = RPN-only AR@{100,300,1000} "
+             "(reference 'proposal_fast' metric / RPN detector eval)",
+    )
     args = p.parse_args()
 
     from htd_tpu import config as C
@@ -58,6 +63,16 @@ def main():
     )
     model, variables = init_detector(cfg, args.checkpoint)
     dataset = CocoDataset(args.ann, args.img_root, test_mode=True)
+    if args.eval == "proposal":
+        from htd_tpu.apis import evaluate_proposals
+
+        metrics = evaluate_proposals(
+            model, variables, dataset,
+            batch_size=args.batch_size, scale=scale,
+            max_images=args.max_images,
+        )
+        print(json.dumps({k: round(v, 4) for k, v in metrics.items()}))
+        return
     if args.aug:
         import numpy as np
 
