@@ -28,7 +28,7 @@ from htd_tpu.models.resnet import ResNet
 from htd_tpu.models.fpn import FPN
 from htd_tpu.models.rpn import RPNHead, gen_proposals
 from htd_tpu.models.heads import GlobalContextHead, HTDBBoxHead, Shared2FCBBoxHead
-from htd_tpu.models.roi_extract import AdptRoIExtractor, single_roi_extract
+from htd_tpu.models.roi_extract import AdptRoIExtractor
 from htd_tpu.ops.anchors import AnchorGenerator, anchor_inside_flags
 from htd_tpu.ops.boxes import bbox2delta, delta2bbox
 from htd_tpu.ops.nms import multiclass_nms
@@ -107,10 +107,11 @@ class HTDDetector(nn.Module):
 
     def _roi_feats(self, feats4, rois: Array) -> Array:
         """(B, R, 4) rois -> (B, R, 7, 7, C) level-mapped aligned features."""
-        def one(img_feats, img_rois):
-            return single_roi_extract(img_feats, img_rois, self.cfg.roi_extractor)
+        from htd_tpu.models.roi_extract import single_roi_extract_batched
 
-        return jax.vmap(one)(list(feats4), rois)
+        return single_roi_extract_batched(
+            list(feats4), rois, self.cfg.roi_extractor
+        )
 
     def _global(self, feats) -> Tuple[Optional[Array], Optional[Array]]:
         if not self.cfg.with_global:
@@ -239,6 +240,67 @@ class HTDDetector(nn.Module):
         feats = self.extract_feats(images)
         if upto == "backbone_fpn":
             return sum(jnp.sum(f.astype(jnp.float32)) for f in feats)
+        if upto.startswith("extract_part_"):
+            # bisect the extraction internals in-model: pyramid concat,
+            # raw v3 kernel (no fallback), fallback gather only
+            from htd_tpu.ops import roi_align_pallas as rap
+            from htd_tpu.ops.boxes import map_roi_levels as _mrl
+
+            feats4 = [f[0] for f in feats[: len(c.roi_extractor.featmap_strides)]]
+            t = jnp.arange(1000, dtype=jnp.float32)
+            x1 = (t * 37.0) % 1200.0
+            y1 = (t * 17.0) % 600.0
+            size = 16.0 + (t * 13.0) % 120.0
+            synth = jnp.stack([x1, y1, x1 + size, y1 + size], axis=1)
+            synth = synth + jnp.sum(images[:, :1, :1]) * 1e-12
+            lvls = _mrl(synth, len(c.roi_extractor.featmap_strides),
+                        c.roi_extractor.finest_scale)
+            strides = c.roi_extractor.featmap_strides
+            if upto == "extract_part_pyr":
+                g = rap.V3_GEOM
+                pyr, _, _, _, _ = rap._build_pyramid(
+                    feats4, g["n_y"] * g["y_block"], g["n_x"] * g["x_block"],
+                    g["x_block"], g["y_block"],
+                )
+                return jnp.sum(pyr.astype(jnp.float32)) * 1e-6
+            if upto == "extract_part_kernel":
+                out = rap.roi_align_pallas_v3(
+                    feats4, synth, strides, lvls, 7, 0,
+                    c.roi_extractor.max_samples, **rap.V3_GEOM,
+                )
+                return jnp.sum(out.astype(jnp.float32)) * 1e-6
+            if upto == "extract_part_kernel_nosort":
+                out = rap.roi_align_pallas_v3(
+                    feats4, synth, strides, lvls, 7, 0,
+                    c.roi_extractor.max_samples, sort_rois=False,
+                    **rap.V3_GEOM,
+                )
+                return jnp.sum(out.astype(jnp.float32)) * 1e-6
+            if upto == "extract_part_fallback":
+                from htd_tpu.ops.roi_align import roi_align_pyramid
+
+                idx = jnp.arange(rap.FALLBACK_CAP)
+                out = roi_align_pyramid(
+                    feats4, synth[idx], strides, lvls[idx], 7, 0,
+                    c.roi_extractor.max_samples,
+                )
+                return jnp.sum(out.astype(jnp.float32)) * 1e-6
+            raise ValueError(upto)
+        if upto == "backbone_extract":
+            # backbone -> extract on synthetic rois, NO RPN/NMS/SFA in the
+            # program: bisects whether the surrounding graph (not the roi
+            # values) slows the extraction
+            feats4 = feats[: len(c.roi_extractor.featmap_strides)]
+            bsz = images.shape[0]
+            t = jnp.arange(1000, dtype=jnp.float32)
+            x1 = (t * 37.0) % 1200.0
+            y1 = (t * 17.0) % 600.0
+            size = 16.0 + (t * 13.0) % 120.0
+            synth = jnp.stack([x1, y1, x1 + size, y1 + size], axis=1)
+            synth = jnp.broadcast_to(synth, (bsz, 1000, 4))
+            synth = synth + jnp.sum(images[:, :1, :1]) * 1e-12
+            rf = self._roi_feats(feats4, synth)
+            return jnp.sum(rf.astype(jnp.float32)) * 1e-6
         feats4 = feats[: len(c.roi_extractor.featmap_strides)]
         rpn_scores, rpn_deltas = self.rpn_head(feats)
         props, prop_scores, prop_valid = gen_proposals(
@@ -249,6 +311,20 @@ class HTDDetector(nn.Module):
         _, global_feat = self._global(feats)
         if upto == "stage0_extract":
             rf = self._roi_feats(feats4, props)
+            return jnp.sum(rf.astype(jnp.float32)) * 1e-6
+        if upto == "stage0_extract_synth":
+            # same extract on synthetic static rois — separates roi-value
+            # effects (NMS output distribution, padded rois) from context
+            # effects (feature layouts, scheduling)
+            r = props.shape[1]
+            t = jnp.arange(r, dtype=jnp.float32)
+            x1 = (t * 37.0) % 1200.0
+            y1 = (t * 17.0) % 600.0
+            size = 16.0 + (t * 13.0) % 120.0
+            synth = jnp.stack([x1, y1, x1 + size, y1 + size], axis=1)
+            synth = jnp.broadcast_to(synth, (props.shape[0], r, 4))
+            synth = synth + props[..., :1] * 1e-9  # defeat CSE/constant folding
+            rf = self._roi_feats(feats4, synth)
             return jnp.sum(rf.astype(jnp.float32)) * 1e-6
         s0_cls, s0_reg = self._stage0(feats4, props, global_feat)
         if upto == "stage0":

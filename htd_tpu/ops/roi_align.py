@@ -189,6 +189,54 @@ def roi_align_pyramid(
     )
 
 
+def roi_align_pyramid_batched(
+    feats: Sequence[Array],
+    rois: Array,
+    strides: Sequence[int],
+    target_lvls: Array,
+    out_size: int = 7,
+    sampling_ratio: int = 0,
+    max_samples: int = 4,
+) -> Array:
+    """Batched level-dispatched RoIAlign in ONE gather pass.
+
+    feats: per-level (B, H_l, W_l, C); rois (B, R, 4); target_lvls (B, R).
+    Returns (B, R, out, out, C). Same math as vmap(roi_align_pyramid) but
+    folds (image, level) into one flat buffer with per-roi row offsets —
+    one gather kernel over B*R rois instead of B batched ones.
+    """
+    b = rois.shape[0]
+    r = rois.shape[1]
+    c = feats[0].shape[-1]
+    hs = np.array([f.shape[1] for f in feats], np.float32)
+    ws = np.array([f.shape[2] for f in feats], np.float32)
+    sizes = [int(f.shape[1] * f.shape[2]) for f in feats]
+    img_size = int(np.sum(sizes))
+    lvl_offs = np.concatenate([[0], np.cumsum(sizes)])[:-1].astype(np.int32)
+    scales = np.array([1.0 / s for s in strides], np.float32)
+    # flat layout: image-major, level-minor
+    flat = jnp.concatenate(
+        [jnp.concatenate([f[i].reshape(-1, c) for f in feats], axis=0)
+         for i in range(b)],
+        axis=0,
+    )
+
+    lv = target_lvls.reshape(-1)
+    img_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), r)
+    out = _roi_align_core(
+        flat,
+        rois.reshape(-1, 4),
+        scale=jnp.asarray(scales)[lv],
+        fh=jnp.asarray(hs)[lv],
+        fw=jnp.asarray(ws)[lv],
+        row_offset=jnp.asarray(lvl_offs)[lv] + img_idx * img_size,
+        out_size=out_size,
+        sampling_ratio=sampling_ratio,
+        max_samples=max_samples,
+    )
+    return out.reshape(b, r, out_size, out_size, c)
+
+
 # kept as a cross-check implementation for tests (4x the gather traffic)
 def roi_align_multilevel(
     feats: Sequence[Array],

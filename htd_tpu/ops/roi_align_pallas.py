@@ -90,24 +90,43 @@ def _window_sort_order(feats, rois, strides, target_lvls):
     return jnp.argsort(key)
 
 
-def _build_pyramid(feats, win_h=None, win_w=None):
-    """Row-concatenate levels into (rows, W_pad, C); returns (pyr, offsets)."""
+def _build_pyramid(feats, win_h=None, win_w=None, x_block=None, y_block=None):
+    """Row-concatenate levels into (rows, W_pad, C); returns (pyr, offsets).
+
+    Levels may be single-image (H, W, C) or batched (B, H, W, C); batched
+    levels are laid out image-major / level-minor and `offsets` are the
+    per-level row offsets WITHIN one image's segment (callers add
+    img_idx * img_rows, the third return value's `rows` per image).
+    """
     win_h = WIN_H if win_h is None else win_h
     win_w = WIN_W if win_w is None else win_w
+    x_block = X_BLOCK if x_block is None else x_block
+    y_block = Y_BLOCK if y_block is None else y_block
+    batched = feats[0].ndim == 4
     c = feats[0].shape[-1]
-    w_pad = max(win_w + X_BLOCK, max(int(f.shape[1]) for f in feats))
-    w_pad = (w_pad + X_BLOCK - 1) // X_BLOCK * X_BLOCK
+    w_pad = max(win_w + x_block, max(int(f.shape[-2]) for f in feats))
+    w_pad = (w_pad + x_block - 1) // x_block * x_block
     parts = []
     offsets = [0]
     for f in feats:
-        h, w = int(f.shape[0]), int(f.shape[1])
-        parts.append(jnp.pad(f, ((0, 0), (0, w_pad - w), (0, 0))))
+        h, w = int(f.shape[-3]), int(f.shape[-2])
+        pad = ((0, 0), (0, w_pad - w), (0, 0))
+        if batched:
+            pad = ((0, 0),) + pad
+        parts.append(jnp.pad(f, pad))
         offsets.append(offsets[-1] + h)
-    rows = offsets[-1]
-    rows_pad = (rows + win_h + Y_BLOCK - 1) // Y_BLOCK * Y_BLOCK
-    pyr = jnp.concatenate(parts, axis=0)
+    img_rows = offsets[-1]
+    if batched:
+        b = int(feats[0].shape[0])
+        pyr = jnp.concatenate(parts, axis=1)  # (B, img_rows, w_pad, C)
+        pyr = pyr.reshape(b * img_rows, w_pad, c)
+        rows = b * img_rows
+    else:
+        pyr = jnp.concatenate(parts, axis=0)
+        rows = img_rows
+    rows_pad = (rows + win_h + y_block - 1) // y_block * y_block
     pyr = jnp.pad(pyr, ((0, rows_pad - rows), (0, 0), (0, 0)))
-    return pyr, offsets[:-1], w_pad, rows_pad
+    return pyr, offsets[:-1], w_pad, rows_pad, img_rows
 
 
 def roi_align_pallas(
@@ -153,7 +172,7 @@ def roi_align_pallas(
     f32 = jnp.float32
     num_levels = len(feats)
 
-    pyr, offsets, w_pad, rows_pad = _build_pyramid(feats)
+    pyr, offsets, w_pad, rows_pad, _ = _build_pyramid(feats)
 
     scales = jnp.asarray([1.0 / s for s in strides], f32)[target_lvls]
     rois = rois.astype(f32)
@@ -318,6 +337,7 @@ def roi_align_pallas_v3(
     x_block: int = 64,
     n_x: int = 2,
     pack: int = 2,
+    img_idx: "Array | None" = None,
 ) -> Array:
     """v3 window kernel: multi-roi grid steps + strip accumulation.
 
@@ -328,22 +348,15 @@ def roi_align_pallas_v3(
         pipeline block is contracted against its slice of the interpolation
         matrices and accumulated — scoped VMEM stays small enough for f32
         (v2 exceeded the 16 MB scoped limit in f32 and could not compile).
-      * block geometry is parameterized; the default 64x128 window covers
+      * block geometry is parameterized; the default 64x96 window covers
         y extent <= 64 - y_block - 2, x extent <= 62 (same fallback contract
         as v2, handled by roi_align_fused).
+      * optional batching: levels may be (B, H, W, C) with `img_idx` (R,)
+        giving each roi's image — one pyramid, one grid over all images'
+        rois (vmap-free; the whole-batch roi population shares the grid).
 
     Spec-count budget: pack * n_y * n_x + 2 <= ~20 (platform Mosaic limit).
     """
-    if sort_rois:
-        order = _window_sort_order(feats, rois, strides, target_lvls)
-        out = roi_align_pallas_v3(
-            list(feats), rois[order], strides, target_lvls[order],
-            out_size=out_size, sampling_ratio=sampling_ratio,
-            max_samples=max_samples, interpret=interpret, sort_rois=False,
-            y_block=y_block, n_y=n_y, x_block=x_block, n_x=n_x, pack=pack,
-        )
-        return out[jnp.argsort(order)]
-
     win_h, win_w = n_y * y_block, n_x * x_block
     c = feats[0].shape[-1]
     r = rois.shape[0]
@@ -351,7 +364,9 @@ def roi_align_pallas_v3(
     r_pad = (r + pack - 1) // pack * pack
     grid = r_pad // pack
 
-    pyr, offsets, w_pad, rows_pad = _build_pyramid(feats, win_h, win_w)
+    pyr, offsets, w_pad, rows_pad, img_rows = _build_pyramid(
+        feats, win_h, win_w, x_block, y_block
+    )
 
     scales = jnp.asarray([1.0 / s for s in strides], f32)[target_lvls]
     rois = rois.astype(f32)
@@ -368,9 +383,11 @@ def roi_align_pallas_v3(
         grid_w = jnp.clip(jnp.ceil(bin_w), 0, s_max)
         grid_h = jnp.clip(jnp.ceil(bin_h), 0, s_max)
 
-    hs = jnp.asarray([float(f.shape[0]) for f in feats], f32)[target_lvls]
-    ws = jnp.asarray([float(f.shape[1]) for f in feats], f32)[target_lvls]
+    hs = jnp.asarray([float(f.shape[-3]) for f in feats], f32)[target_lvls]
+    ws = jnp.asarray([float(f.shape[-2]) for f in feats], f32)[target_lvls]
     row_off = jnp.asarray(np.asarray(offsets, np.float32))[target_lvls]
+    if img_idx is not None:
+        row_off = row_off + img_idx.astype(f32) * float(img_rows)
 
     y_lo = jnp.clip(jnp.floor(jnp.maximum(start_h, 0.0)), 0.0, jnp.maximum(hs - 1, 0.0))
     x_lo = jnp.clip(jnp.floor(jnp.maximum(start_w, 0.0)), 0.0, jnp.maximum(ws - 1, 0.0))
@@ -380,6 +397,20 @@ def roi_align_pallas_v3(
     xblk = jnp.clip(
         jnp.floor(x_lo / x_block), 0.0, (w_pad - win_w) / x_block
     ).astype(jnp.int32)
+
+    if sort_rois:
+        # window-block-sorted processing lets the pipeline's revolving
+        # buffers skip re-fetching identical consecutive blocks; results
+        # are scattered back to input order at the end
+        order = jnp.argsort(yblk * 1024 + xblk)
+        inv = jnp.argsort(order)
+        (start_h, start_w, bin_h, bin_w, grid_h, grid_w, hs, ws, row_off,
+         yblk, xblk) = (
+            a[order] for a in (start_h, start_w, bin_h, bin_w, grid_h,
+                               grid_w, hs, ws, row_off, yblk, xblk)
+        )
+    else:
+        inv = None
 
     params = jnp.stack(
         [start_h, start_w, bin_h, bin_w, grid_h, grid_w, hs, ws, row_off,
@@ -412,11 +443,12 @@ def roi_align_pallas_v3(
             out = jnp.einsum("xp,ypc->yxc", ax, tmp) / count
             return out.astype(feats[0].dtype)
 
-        return jax.lax.map(
+        out = jax.lax.map(
             lambda t: one(*t),
             (yblk[:r], xblk[:r], start_h, start_w, bin_h, bin_w,
              grid_h, grid_w, hs, ws, row_off),
         )
+        return out if inv is None else out[inv]
 
     def kernel(yblk_ref, xblk_ref, params_ref, *refs):
         del yblk_ref, xblk_ref
@@ -498,10 +530,15 @@ def roi_align_pallas_v3(
         out_shape=jax.ShapeDtypeStruct(
             (r_pad, out_size, out_size, c), feats[0].dtype
         ),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        # NOTE: no vmem_limit_bytes override — the reservation applies to
+        # the whole executable and a 100 MB limit measured ~2.4x slowdown
+        # of the SURROUNDING graph (backbone convs spilled; PERF.md r2).
+        # The kernel's scoped VMEM is small: pack*n_y*n_x blocks of
+        # (y_block, x_block, C) + the (pack, 7, 7, C) out block.
         interpret=interpret,
     )(yblk, xblk, params, *([pyr] * (pack * n_y * n_x)))
-    return out[:r]
+    out = out[:r]
+    return out if inv is None else out[inv]
 
 
 def adpt_align_pallas(
@@ -544,7 +581,7 @@ def adpt_align_pallas(
     r = rois.shape[0]
     L = len(feats)
     f32 = jnp.float32
-    pyr, offsets, w_pad, rows_pad = _build_pyramid(feats, WIN_H, WIN_W)
+    pyr, offsets, w_pad, rows_pad, _ = _build_pyramid(feats, WIN_H, WIN_W)
 
     rois = rois.astype(f32)
     if sampling_ratio > 0:
@@ -832,6 +869,430 @@ def roi_align_fused(
     )
     patched = jnp.where(sel_valid[:, None, None, None], sub, out[idx])
     return out.at[idx].set(patched.astype(out.dtype))
+
+
+def _interp_matrix_k(start, bin_size, grid, size, origin, p_dim, out_size,
+                     s_max, valid):
+    """(K, out_size, p_dim) summed bilinear tent weights for one axis.
+
+    Vectorized-over-slots version of `_interp_matrix`: every param is (K,).
+    Invalid slots produce all-zero rows.
+    """
+    f32 = jnp.float32
+    k = start.shape[0]
+    shp = (k, out_size, s_max, p_dim)
+    px = jax.lax.broadcasted_iota(jnp.int32, shp, 1).astype(f32)
+    ix = jax.lax.broadcasted_iota(jnp.int32, shp, 2).astype(f32)
+    pp = jax.lax.broadcasted_iota(jnp.int32, shp, 3).astype(f32)
+
+    def b(a):  # (K,) -> (K, 1, 1, 1)
+        return a.astype(f32)[:, None, None, None]
+
+    g = jnp.maximum(b(grid), 1.0)
+    coord = b(start) + (px + (ix + 0.5) / g) * b(bin_size)
+    live = ix < b(grid)
+    inside = (coord >= -1.0) & (coord <= b(size))
+    cc = jnp.clip(coord, 0.0, b(size) - 1.0)
+    rel = cc - b(origin)
+    tent = jnp.maximum(0.0, 1.0 - jnp.abs(rel - pp))
+    tent = tent * (live & inside & b(valid).astype(bool)).astype(f32)
+    return jnp.sum(tent, axis=2)  # (K, out_size, p_dim)
+
+
+# v4 geometry: resident region of 5x2 (16, 96, C) blocks = (80, 192, C)
+V4_Y_STRIPE = 16
+V4_N_Y = 5
+V4_X_BLOCK = 96
+V4_N_X = 2
+V4_RES_H = V4_Y_STRIPE * V4_N_Y   # 80
+V4_RES_W = V4_X_BLOCK * V4_N_X    # 192
+# coverage (worst-case origin quantization): y extent <= 80-16-2, x <= 192-96-2
+V4_COVER_H = V4_RES_H - V4_Y_STRIPE - 2
+V4_COVER_W = V4_RES_W - V4_X_BLOCK - 2
+
+
+def _v4_bin_rois(start_h, start_w, hs, ws, row_off, n_ybins, n_xbins, slots):
+    """Assign each roi to a spatial bin and a slot within it.
+
+    Returns (ybin, xbin, roi_slot, slot_roi, slot_overflow):
+      * roi_slot (R,): each roi's flat slot in [0, n_bins*slots] (== trash
+        when the roi overflowed its bin's capacity);
+      * slot_roi (n_bins*slots + 1,): each slot's roi index (R = empty);
+      * slot_overflow (R,) bool.
+    """
+    f32 = jnp.float32
+    r = start_h.shape[0]
+    y_lo = jnp.clip(jnp.floor(jnp.maximum(start_h, 0.0)), 0.0,
+                    jnp.maximum(hs - 1, 0.0))
+    x_lo = jnp.clip(jnp.floor(jnp.maximum(start_w, 0.0)), 0.0,
+                    jnp.maximum(ws - 1, 0.0))
+    abs_y = row_off + y_lo
+    ybin = jnp.clip(jnp.floor(abs_y / V4_Y_STRIPE), 0, n_ybins - 1
+                    ).astype(jnp.int32)
+    xbin = jnp.clip(jnp.floor(x_lo / V4_X_BLOCK), 0, n_xbins - 1
+                    ).astype(jnp.int32)
+    bin_id = ybin * n_xbins + xbin
+    n_bins = n_ybins * n_xbins
+
+    order = jnp.argsort(bin_id)          # stable
+    sb = bin_id[order]
+    first = jnp.searchsorted(sb, sb, side="left")
+    rank = jnp.arange(r, dtype=jnp.int32) - first.astype(jnp.int32)
+    ok = rank < slots
+    flat_slot = jnp.where(ok, sb * slots + rank, n_bins * slots)
+    slot_roi = jnp.full((n_bins * slots + 1,), r, jnp.int32)
+    slot_roi = slot_roi.at[flat_slot].set(order.astype(jnp.int32))
+    # trash slot may have been claimed by an overflowed roi; reset it
+    slot_roi = slot_roi.at[n_bins * slots].set(r)
+    roi_slot = jnp.zeros((r,), jnp.int32).at[order].set(
+        flat_slot.astype(jnp.int32)
+    )
+    overflow = jnp.zeros((r,), bool).at[order].set(~ok)
+    return ybin, xbin, roi_slot, slot_roi, overflow
+
+
+def roi_align_pallas_v4(
+    feats: Sequence[Array],
+    rois: Array,
+    strides: Sequence[int],
+    target_lvls: Array,
+    out_size: int = 7,
+    sampling_ratio: int = 0,
+    max_samples: int = 4,
+    interpret: bool = False,
+    img_idx: "Array | None" = None,
+    slots: int = 32,
+):
+    """v4 'bin-tile' kernel: grid over SPATIAL BINS, not rois.
+
+    Motivation (measured, PERF.md round 2): v3 issues ~12 HBM block DMAs
+    per roi; real NMS proposals are spatially ANTI-clustered (NMS suppresses
+    neighbours), so the pipeline's consecutive-block-reuse never fires and
+    the kernel is per-DMA-overhead bound (~10 ms/1000 rois in-model vs
+    4.5 ms on artificially clustered benchmarks).
+
+    v4 inverts the loop: the grid walks (y_bin, x_bin) tiles of the level
+    pyramid; each step holds a (80, 192, C) resident region in VMEM (10
+    pipeline blocks) and evaluates up to `slots` rois binned to that
+    region by two stacked interpolation matmuls over the WHOLE resident
+    patch (tent weights are zero outside each roi's sampled span, so no
+    window slicing is needed). Total DMA = bins x 10 blocks (~1k) instead
+    of rois x 12 (~12k); compute runs on the MXU in bf16 with f32
+    accumulation.
+
+    Rois whose bin already holds `slots` rois overflow to the caller's
+    fallback (returned mask), as do rois whose sampled extent exceeds the
+    coverage (V4_COVER_H/W at the mapped level).
+
+    Returns (out (R, out, out, C), overflow (R,) bool).
+    """
+    f32 = jnp.float32
+    c = feats[0].shape[-1]
+    r = rois.shape[0]
+    dt = feats[0].dtype
+
+    # pyramid with v4 row/width padding:
+    # w_pad large enough that xbin+1 block indices stay in range
+    max_w = max(int(f.shape[-2]) for f in feats)
+    w_pad_target = ((max_w - 1) // V4_X_BLOCK + 2) * V4_X_BLOCK
+    pyr, offsets, w_pad, rows_pad, img_rows = _build_pyramid(
+        feats, V4_RES_H, w_pad_target - V4_X_BLOCK, V4_X_BLOCK, V4_Y_STRIPE
+    )
+    n_ybins = rows_pad // V4_Y_STRIPE - (V4_N_Y - 1)
+    n_xbins = w_pad // V4_X_BLOCK - (V4_N_X - 1)
+    n_bins = n_ybins * n_xbins
+
+    scales = jnp.asarray([1.0 / s for s in strides], f32)[target_lvls]
+    rois = rois.astype(f32)
+    start_w = rois[:, 0] * scales - 0.5
+    start_h = rois[:, 1] * scales - 0.5
+    bin_w = (rois[:, 2] - rois[:, 0]) * scales / out_size
+    bin_h = (rois[:, 3] - rois[:, 1]) * scales / out_size
+    if sampling_ratio > 0:
+        s_max = sampling_ratio
+        grid_w = jnp.full((r,), sampling_ratio, f32)
+        grid_h = jnp.full((r,), sampling_ratio, f32)
+    else:
+        s_max = max_samples
+        grid_w = jnp.clip(jnp.ceil(bin_w), 0, s_max)
+        grid_h = jnp.clip(jnp.ceil(bin_h), 0, s_max)
+
+    hs = jnp.asarray([float(f.shape[-3]) for f in feats], f32)[target_lvls]
+    ws = jnp.asarray([float(f.shape[-2]) for f in feats], f32)[target_lvls]
+    row_off = jnp.asarray(np.asarray(offsets, np.float32))[target_lvls]
+    if img_idx is not None:
+        row_off = row_off + img_idx.astype(f32) * float(img_rows)
+
+    ybin_r, xbin_r, roi_slot, slot_roi, slot_ovf = _v4_bin_rois(
+        start_h, start_w, hs, ws, row_off, n_ybins, n_xbins, slots
+    )
+
+    # per-bin block coordinates for the index maps
+    bins = jnp.arange(n_bins, dtype=jnp.int32)
+    ybin_b = bins // n_xbins
+    xbin_b = bins % n_xbins
+
+    # per-slot params (n_bins, slots, 128)
+    take = jnp.minimum(slot_roi[: n_bins * slots], r - 1)
+    valid = (slot_roi[: n_bins * slots] < r).astype(f32)
+    cols = jnp.stack(
+        [start_h[take], start_w[take], bin_h[take], bin_w[take],
+         grid_h[take], grid_w[take], hs[take], ws[take],
+         # resident-region origins in LEVEL coords
+         (jnp.repeat(ybin_b, slots) * V4_Y_STRIPE).astype(f32) - row_off[take],
+         (jnp.repeat(xbin_b, slots) * V4_X_BLOCK).astype(f32),
+         valid],
+        axis=1,
+    )  # (n_bins*slots, 11)
+    params = jnp.pad(cols, ((0, 0), (0, 128 - cols.shape[1])))
+    params = params.reshape(n_bins, slots, 128)
+
+    if interpret or jax.default_backend() == "cpu":
+        # jnp emulation with identical binning/origin math (validates the
+        # bin assignment and coverage logic exactly, in f32)
+        def one(t):
+            (yb, xb, st_h, st_w, b_h, b_w, g_h, g_w, s_h, s_w, ro) = t
+            res = jax.lax.dynamic_slice(
+                pyr, (yb * V4_Y_STRIPE, xb * V4_X_BLOCK, 0),
+                (V4_RES_H, V4_RES_W, c),
+            )
+            ay = _interp_matrix(
+                st_h, b_h, g_h, s_h,
+                yb.astype(f32) * V4_Y_STRIPE - ro, V4_RES_H, out_size, s_max)
+            ax = _interp_matrix(
+                st_w, b_w, g_w, s_w,
+                xb.astype(f32) * V4_X_BLOCK, V4_RES_W, out_size, s_max)
+            count = jnp.maximum(g_h * g_w, 1.0)
+            wf = res.reshape(V4_RES_H, V4_RES_W * c).astype(f32)
+            tmp = jnp.dot(ay, wf).reshape(out_size, V4_RES_W, c)
+            o = jnp.einsum("xp,ypc->yxc", ax, tmp) / count
+            return o.astype(dt)
+
+        out = jax.lax.map(
+            one,
+            (ybin_r, xbin_r, start_h, start_w, bin_h, bin_w,
+             grid_h, grid_w, hs, ws, row_off),
+        )
+        return out, slot_ovf
+
+    def kernel(ybin_ref, xbin_ref, params_ref, *refs):
+        del ybin_ref, xbin_ref
+        blocks = refs[: V4_N_Y * V4_N_X]
+        out_ref = refs[V4_N_Y * V4_N_X]
+        p = params_ref[0]  # (slots, 128)
+        sth, stw = p[:, 0], p[:, 1]
+        bh, bw = p[:, 2], p[:, 3]
+        gh, gw = p[:, 4], p[:, 5]
+        size_h, size_w = p[:, 6], p[:, 7]
+        y_origin, x_origin = p[:, 8], p[:, 9]
+        vld = p[:, 10]
+
+        ay = _interp_matrix_k(
+            sth, bh, gh, size_h, y_origin, V4_RES_H, out_size, s_max, vld
+        )  # (K, 7, 80) f32
+        ax = _interp_matrix_k(
+            stw, bw, gw, size_w, x_origin, V4_RES_W, out_size, s_max, vld
+        )  # (K, 7, 192) f32
+        count = jnp.maximum(gh * gw, 1.0)
+
+        ay_m = ay.reshape(slots * out_size, V4_RES_H).astype(dt)
+        acc = jnp.zeros((slots, out_size, out_size, c), f32)
+        for kx in range(V4_N_X):
+            # assemble this x-block's full 80-row strip, then ONE matmul
+            # with contraction dim 80 (five 16-deep dots ran the MXU at
+            # 16/128 utilization — measured ~2.5x slower overall)
+            win = jnp.concatenate(
+                [blocks[ky * V4_N_X + kx][:] for ky in range(V4_N_Y)], axis=0
+            )  # (80, 96, C)
+            m = jnp.dot(
+                ay_m,
+                win.reshape(V4_RES_H, V4_X_BLOCK * c),
+                preferred_element_type=f32,
+            )
+            t = m.reshape(slots, out_size, V4_X_BLOCK, c).astype(dt)
+            ax_b = ax[:, :, kx * V4_X_BLOCK:(kx + 1) * V4_X_BLOCK].astype(dt)
+            part = jax.lax.dot_general(
+                ax_b, t,
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=f32,
+            )  # (K, 7_x, 7_y, C)
+            acc = acc + jnp.swapaxes(part, 1, 2)
+        out_ref[0] = (acc / count[:, None, None, None]).astype(out_ref.dtype)
+
+    block_specs = []
+    for ky in range(V4_N_Y):
+        for kx in range(V4_N_X):
+            block_specs.append(
+                pl.BlockSpec(
+                    (V4_Y_STRIPE, V4_X_BLOCK, c),
+                    functools.partial(
+                        lambda i, yb, xb, ky, kx: (yb[i] + ky, xb[i] + kx, 0),
+                        ky=ky, kx=kx,
+                    ),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_bins,),
+        in_specs=[
+            # params feed VECTOR reads (per-slot columns), so VMEM — SMEM
+            # only lowers scalar reads on this platform
+            pl.BlockSpec((1, slots, 128), lambda i, yb, xb: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+        ]
+        + block_specs,
+        out_specs=pl.BlockSpec(
+            (1, slots, out_size, out_size, c),
+            lambda i, yb, xb: (i, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+
+    slot_out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_bins, slots, out_size, out_size, c), dt
+        ),
+        # scoped VMEM ~40 MB at K=32: 10 double-buffered (16, 96, C) bf16
+        # blocks (15.7 MB) + the (K*7, 96C) f32 y-contract intermediate
+        # (22 MB) + assembled strip + out
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=80 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(ybin_b, xbin_b, params, *([pyr] * (V4_N_Y * V4_N_X)))
+
+    flat = slot_out.reshape(n_bins * slots, out_size, out_size, c)
+    flat = jnp.concatenate(
+        [flat, jnp.zeros((1, out_size, out_size, c), dt)], axis=0
+    )
+    return flat[roi_slot], slot_ovf
+
+
+def roi_align_fused_batched(
+    feats: Sequence[Array],
+    rois: Array,
+    strides: Sequence[int],
+    target_lvls: Array,
+    out_size: int = 7,
+    sampling_ratio: int = 0,
+    max_samples: int = 4,
+    interpret: bool = False,
+    fallback_cap: int = None,
+) -> Array:
+    """Batched fused RoIAlign: levels (B, H, W, C), rois (B, R, 4).
+
+    Returns (B, R, out, out, C). One pyramid (image-major row layout) and
+    ONE Pallas grid over all B*R rois — no vmap over the kernel (the
+    batching rule's per-image expansion measured ~2.6x slower in-model),
+    and per-roi window sorting now amortizes ACROSS images.
+    """
+    b, r = rois.shape[0], rois.shape[1]
+    f32 = jnp.float32
+    flat_rois = rois.reshape(b * r, 4)
+    flat_lvls = target_lvls.reshape(b * r)
+    img_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), r)
+
+    scales = jnp.asarray([1.0 / s for s in strides], f32)[flat_lvls]
+    ext_w = (flat_rois[:, 2] - flat_rois[:, 0]).astype(f32) * scales
+    ext_h = (flat_rois[:, 3] - flat_rois[:, 1]).astype(f32) * scales
+    size_ovf = (ext_w > V4_COVER_W) | (ext_h > V4_COVER_H)
+
+    flat_out, slot_ovf = roi_align_pallas_v4(
+        list(feats), flat_rois, strides, flat_lvls,
+        out_size=out_size, sampling_ratio=sampling_ratio,
+        max_samples=max_samples, interpret=interpret, img_idx=img_idx,
+    )
+    overflow = size_ovf | slot_ovf
+
+    cap = fallback_cap if fallback_cap is not None else 2 * FALLBACK_CAP * b
+    cap = min(cap, b * r)
+    # slot-overflow rois carry a ZERO row from the kernel (their bin was
+    # full) — they MUST win fallback capacity over size-overflow rois,
+    # whose kernel value is merely a truncated-coverage approximation
+    score = jnp.where(slot_ovf, 2.0, 0.0) + jnp.where(size_ovf, 1.0, 0.0)
+    top, idx = jax.lax.top_k(score, cap)
+    sel_valid = top > 0.0
+    # fallback must respect each roi's image: batched-pyramid flat gather
+    # with explicit per-roi (image, level) row offsets
+    from htd_tpu.ops import roi_align as _ra
+
+    c = feats[0].shape[-1]
+    hs = np.array([f.shape[1] for f in feats], np.float32)
+    ws = np.array([f.shape[2] for f in feats], np.float32)
+    sizes = [int(f.shape[1] * f.shape[2]) for f in feats]
+    img_size = int(np.sum(sizes))
+    lvl_offs = np.concatenate([[0], np.cumsum(sizes)])[:-1].astype(np.int32)
+    sc = np.array([1.0 / s for s in strides], np.float32)
+    flat_buf = jnp.concatenate(
+        [jnp.concatenate([f[i].reshape(-1, c) for f in feats], axis=0)
+         for i in range(b)],
+        axis=0,
+    )
+    lv_sub = flat_lvls[idx]
+    sub = _ra._roi_align_core(
+        flat_buf,
+        flat_rois[idx],
+        scale=jnp.asarray(sc)[lv_sub],
+        fh=jnp.asarray(hs)[lv_sub],
+        fw=jnp.asarray(ws)[lv_sub],
+        row_offset=jnp.asarray(lvl_offs)[lv_sub] + img_idx[idx] * img_size,
+        out_size=out_size,
+        sampling_ratio=sampling_ratio,
+        max_samples=max_samples,
+    )
+    patched = jnp.where(sel_valid[:, None, None, None], sub, flat_out[idx])
+    flat_out = flat_out.at[idx].set(patched.astype(flat_out.dtype))
+    return flat_out.reshape(b, r, out_size, out_size, c)
+
+
+@functools.lru_cache(maxsize=None)
+def _trainable_fused_batched(strides, out_size, sampling_ratio, max_samples,
+                             interpret):
+    """custom_vjp wrapper for the batched fused extractor: Pallas forward,
+    batched-XLA-pyramid backward (gradients flow into features only)."""
+    from htd_tpu.ops.roi_align import roi_align_pyramid_batched as pyramid
+
+    @jax.custom_vjp
+    def fn(feats, rois, target_lvls):
+        return roi_align_fused_batched(
+            list(feats), rois, strides, target_lvls,
+            out_size=out_size, sampling_ratio=sampling_ratio,
+            max_samples=max_samples, interpret=interpret,
+        )
+
+    def fwd(feats, rois, target_lvls):
+        return fn(feats, rois, target_lvls), (feats, rois, target_lvls)
+
+    def bwd(res, g):
+        feats, rois, target_lvls = res
+        _, vjp = jax.vjp(
+            lambda fs: pyramid(
+                list(fs), rois, strides, target_lvls,
+                out_size=out_size, sampling_ratio=sampling_ratio,
+                max_samples=max_samples,
+            ),
+            feats,
+        )
+        (dfeats,) = vjp(g.astype(feats[0].dtype))
+        return dfeats, None, None
+
+    fn.defvjp(fwd, bwd)
+    return fn
+
+
+def roi_align_fused_batched_trainable(
+    feats, rois, strides, target_lvls,
+    out_size=7, sampling_ratio=0, max_samples=4, interpret=False,
+):
+    """Differentiable (w.r.t. features) batched fused RoIAlign."""
+    fn = _trainable_fused_batched(
+        tuple(strides), out_size, sampling_ratio, max_samples, interpret
+    )
+    return fn(tuple(feats), rois, target_lvls)
 
 
 @functools.lru_cache(maxsize=None)

@@ -209,3 +209,97 @@ def test_fast_oracle_matches_loop(rng):
         a = np_roi_align(feat, rois, 0.25, 7, sr)
         b = np_roi_align_fast(feat, rois, 0.25, 7, sr)
         assert np.abs(a - b).max() < 1e-12
+
+
+def test_pyramid_batched_equals_per_image(rng):
+    """roi_align_pyramid_batched == vmap-free per-image pyramid gather."""
+    from htd_tpu.ops.roi_align import roi_align_pyramid, roi_align_pyramid_batched
+
+    strides = (4, 8, 16, 32)
+    b = 3
+    feats = [
+        jnp.asarray(rng.normal(0, 1, (b, 64 // (2 ** i), 96 // (2 ** i), 8))
+                    .astype(np.float32))
+        for i in range(4)
+    ]
+    rois = np.zeros((b, 20, 4), np.float32)
+    rois[..., 0] = rng.uniform(-20, 300, (b, 20))
+    rois[..., 1] = rng.uniform(-20, 200, (b, 20))
+    rois[..., 2] = rois[..., 0] + rng.uniform(5, 400, (b, 20))
+    rois[..., 3] = rois[..., 1] + rng.uniform(5, 400, (b, 20))
+    lvls = jax.vmap(lambda r: map_roi_levels(r, 4))(jnp.asarray(rois))
+    out = roi_align_pyramid_batched(feats, jnp.asarray(rois), strides, lvls, 7, 0, 4)
+    for i in range(b):
+        ref = roi_align_pyramid(
+            [f[i] for f in feats], jnp.asarray(rois[i]), strides, lvls[i], 7, 0, 4
+        )
+        np.testing.assert_allclose(
+            np.asarray(out[i]), np.asarray(ref), rtol=1e-5, atol=1e-6
+        )
+
+
+def test_fused_batched_interpret_equals_per_image(rng):
+    """roi_align_fused_batched (emulation path) == per-image fused, incl.
+    the elongated-roi fallback with per-image row offsets."""
+    from htd_tpu.ops.roi_align import roi_align_pyramid
+    from htd_tpu.ops.roi_align_pallas import roi_align_fused_batched
+
+    strides = (4, 8, 16, 32)
+    b = 2
+    feats = [
+        jnp.asarray(rng.normal(0, 1, (b, 64 // (2 ** i), 96 // (2 ** i), 8))
+                    .astype(np.float32))
+        for i in range(4)
+    ]
+    rois = np.zeros((b, 12, 4), np.float32)
+    rois[..., 0] = rng.uniform(-20, 350, (b, 12))
+    rois[..., 1] = rng.uniform(-20, 200, (b, 12))
+    rois[..., 2] = rois[..., 0] + rng.uniform(5, 300, (b, 12))
+    rois[..., 3] = rois[..., 1] + rng.uniform(5, 300, (b, 12))
+    lvls = jax.vmap(lambda r: map_roi_levels(r, 4))(jnp.asarray(rois))
+    out = roi_align_fused_batched(
+        feats, jnp.asarray(rois), strides, lvls, 7, 0, 4, interpret=True
+    )
+    for i in range(b):
+        ref = roi_align_pyramid(
+            [f[i] for f in feats], jnp.asarray(rois[i]), strides, lvls[i], 7, 0, 4
+        )
+        np.testing.assert_allclose(
+            np.asarray(out[i]), np.asarray(ref), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_fused_batched_trainable_grad(rng):
+    """Batched custom_vjp backward == autodiff of the batched pyramid."""
+    from htd_tpu.ops.roi_align import roi_align_pyramid_batched
+    from htd_tpu.ops.roi_align_pallas import roi_align_fused_batched_trainable
+
+    strides = (4, 8)
+    b = 2
+    feats = [
+        jnp.asarray(rng.normal(0, 1, (b, 16, 24, 4)).astype(np.float32)),
+        jnp.asarray(rng.normal(0, 1, (b, 8, 12, 4)).astype(np.float32)),
+    ]
+    rois = np.zeros((b, 5, 4), np.float32)
+    rois[..., 0] = rng.uniform(0, 50, (b, 5))
+    rois[..., 1] = rng.uniform(0, 30, (b, 5))
+    rois[..., 2] = rois[..., 0] + rng.uniform(10, 40, (b, 5))
+    rois[..., 3] = rois[..., 1] + rng.uniform(10, 30, (b, 5))
+    lvls = jax.vmap(lambda r: map_roi_levels(r, 2))(jnp.asarray(rois))
+
+    def loss_fused(fs):
+        out = roi_align_fused_batched_trainable(
+            fs, jnp.asarray(rois), strides, lvls, 7, 0, 2, interpret=True
+        )
+        return jnp.sum(out ** 2)
+
+    def loss_pyr(fs):
+        out = roi_align_pyramid_batched(
+            list(fs), jnp.asarray(rois), strides, lvls, 7, 0, 2
+        )
+        return jnp.sum(out ** 2)
+
+    g1 = jax.grad(loss_fused)(tuple(feats))
+    g2 = jax.grad(loss_pyr)(tuple(feats))
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-5)

@@ -33,6 +33,8 @@ def main():
     p.add_argument("--height", type=int, default=800)
     p.add_argument("--width", type=int, default=1344)
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--dist", default="log", choices=["log", "nms"])
+    p.add_argument("--only", default=None, help="substring filter on variants")
     args = p.parse_args()
 
     import jax
@@ -50,9 +52,15 @@ def main():
         jnp.asarray(rng.normal(0, 1, (h // s, w // s, 256)).astype(np.float32), dt)
         for s in strides
     ]
-    # realistic roi distribution: mostly small, some large, ar in [0.5, 2]
+    # roi distribution: --dist log (log-uniform scales; clusters heavily on
+    # the coarse levels — flattering for window reuse) or --dist nms
+    # (small, spread-out boxes like post-NMS proposals — the production
+    # distribution, ~no window reuse)
     n = args.rois
-    scale = np.exp(rng.uniform(np.log(16), np.log(480), n))
+    if args.dist == "nms":
+        scale = np.exp(rng.uniform(np.log(24), np.log(160), n))
+    else:
+        scale = np.exp(rng.uniform(np.log(16), np.log(480), n))
     ar = np.exp(rng.uniform(np.log(0.5), np.log(2.0), n))
     bw = np.minimum(scale * np.sqrt(ar), w - 2)
     bh = np.minimum(scale / np.sqrt(ar), h - 2)
@@ -61,14 +69,69 @@ def main():
     rois = jnp.asarray(np.stack([x1, y1, x1 + bw, y1 + bh], 1).astype(np.float32))
     lvls = map_roi_levels(rois, 4)
 
+    import jax as _jax
+
+    def _vmapped_trainable(r, l):
+        return _jax.vmap(
+            lambda rr, ll: rap.roi_align_fused_trainable(
+                feats, rr, strides, ll, 7, 0, 4)
+        )(r[None], l[None])[0]
+
+    featsb = [f[None] for f in feats]
+
+    def feats_b1():
+        return featsb
+
+    def _vmapped_feats_trainable(r, l):
+        # feats as VMAPPED OPERANDS (batch axis 0) — exactly the model's
+        # _roi_feats call pattern (jax.vmap over (B,H,W,C) levels)
+        def one(fs, rr, ll):
+            return rap.roi_align_fused_trainable(
+                list(fs), rr, strides, ll, 7, 0, 4)
+
+        return _jax.vmap(one)(tuple(featsb), r[None], l[None])[0]
+
+    # 1x1 identity-ish conv to give features CONV-OUTPUT layouts, as they
+    # have in-model (XLA assigns conv-friendly layouts that may force
+    # relayout copies in front of the Pallas call)
+    kern = jnp.asarray(np.eye(256, dtype=np.float32)[None, None], dt)
+
+    def conv_feats():
+        return [
+            jax.lax.conv_general_dilated(
+                f[None], kern, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )[0]
+            for f in feats
+        ]
+
     ref = None
     # window margins per variant for the correctness mask:
     # covered extent = (n*blk - blk - 2) on each axis
     variants = {
         "pyramid_gather_s4": (lambda r, l: roi_align_pyramid(
             feats, r, strides, l, max_samples=4), None),
-        "v2_pallas": (lambda r, l: rap.roi_align_fused(
-            feats, r, strides, l, max_samples=4), (8, 56, 64, 128)),
+        "conv_only": (lambda r, l: jnp.zeros((r.shape[0], 7, 7, 256), dt)
+                      + sum(jnp.sum(f) for f in conv_feats())
+                      + 0 * r[0, 0], None),
+        "v3_fused_after_conv": (lambda r, l: rap.roi_align_fused(
+            conv_feats(), r, strides, l, max_samples=4), (16, 64, 32, 96)),
+        "v3_fused": (lambda r, l: rap.roi_align_fused(
+            feats, r, strides, l, max_samples=4), (16, 64, 32, 96)),
+        "v3_fused_trainable": (lambda r, l: rap.roi_align_fused_trainable(
+            feats, r, strides, l, 7, 0, 4), (16, 64, 32, 96)),
+        "v3_fused_train_vmap1": (_vmapped_trainable, (16, 64, 32, 96)),
+        "v3_fused_train_vmapfeats": (_vmapped_feats_trainable, (16, 64, 32, 96)),
+        "v4_bintile": (
+            lambda r, l: rap.roi_align_pallas_v4(
+                feats, r, strides, l, max_samples=4)[0],
+            (16, rap.V4_COVER_H + 16 + 2, 96, rap.V4_COVER_W + 96 + 2),
+        ),
+        "v4_fused_batched": (
+            lambda r, l: rap.roi_align_fused_batched(
+                feats_b1(), r[None], strides, l[None], max_samples=4)[0],
+            (16, rap.V4_COVER_H + 16 + 2, 96, rap.V4_COVER_W + 96 + 2),
+        ),
     }
     for pack, ny, yb, nx, xb in (
         (1, 4, 16, 2, 64),   # 64x128 window (round-2 baseline geometry)
@@ -87,6 +150,8 @@ def main():
         )
 
     for name, (fn, win) in variants.items():
+        if args.only and args.only not in name and name != "pyramid_gather_s4":
+            continue
         try:
             @jax.jit
             def run_n(r, l, n):
@@ -99,8 +164,9 @@ def main():
             # in v2/fused — raw v3 has no fallback, so compare on the
             # non-overflow subset)
             out = jax.jit(fn)(rois, lvls)
-            if ref is None:
-                ref = np.asarray(out, np.float32)
+            if ref is None or win is None:
+                if ref is None:
+                    ref = np.asarray(out, np.float32)
                 err = 0.0
                 nbad = 0
                 cov = 1.0

@@ -35,6 +35,9 @@ def main():
     p.add_argument("--height", type=int, default=768)
     p.add_argument("--width", type=int, default=1344)
     p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--set", dest="cfg_options", nargs="+", default=[])
+    p.add_argument("--stages", nargs="+", default=None,
+                   help="subset of prefixes to time")
     args = p.parse_args()
 
     import jax
@@ -44,6 +47,8 @@ def main():
     from htd_tpu.models.detector import HTDDetector
 
     cfg = getattr(C, args.config)(compute_dtype="bfloat16")
+    if args.cfg_options:
+        cfg = C.apply_overrides(cfg, args.cfg_options)
     model = HTDDetector(cfg)
     b, h, w = args.batch_size, args.height, args.width
     rng = np.random.RandomState(0)
@@ -67,12 +72,16 @@ def main():
 
     stages = [
         "backbone_fpn",
+        "backbone_extract",
         "rpn_proposals",
         "stage0_extract",
+        "stage0_extract_synth",
         "stage0",
         "stage1",
         "full",
     ]
+    if args.stages:
+        stages = args.stages
     prev = 0.0
     print(f"{'prefix':16s} {'cum ms':>8s} {'delta ms':>9s}")
     for s in stages:
