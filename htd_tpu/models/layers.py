@@ -106,6 +106,21 @@ def max_pool(x: Array, window: int, stride: int, padding) -> Array:
 
 
 def resize_nearest(x: Array, size: Tuple[int, int]) -> Array:
-    """Nearest-neighbor resize of NHWC (or HWC) to (H, W) = size."""
-    shape = x.shape[:-3] + (size[0], size[1], x.shape[-1])
+    """Nearest-neighbor resize of NHWC (or HWC) to (H, W) = size.
+
+    Exact integer upscales use broadcast+reshape: jax.image.resize lowers
+    to a resize op whose T(2,128) output layout poisoned the downstream
+    FPN/RPN convolutions (measured 7x slower on P2; PERF.md round 2).
+    """
+    h, w = int(x.shape[-3]), int(x.shape[-2])
+    th, tw = int(size[0]), int(size[1])
+    if th % h == 0 and tw % w == 0:
+        fy, fx = th // h, tw // w
+        lead = x.shape[:-3]
+        b = x.reshape(lead + (h, 1, w, 1, x.shape[-1]))
+        b = jnp.broadcast_to(
+            b, lead + (h, fy, w, fx, x.shape[-1])
+        )
+        return b.reshape(lead + (th, tw, x.shape[-1]))
+    shape = x.shape[:-3] + (th, tw, x.shape[-1])
     return jax.image.resize(x, shape, method="nearest")

@@ -80,7 +80,7 @@ def single_roi_extract_batched(
     impl = cfg.impl
     if impl == "auto":
         impl = "gather" if jax.default_backend() == "cpu" else "pallas"
-    if impl == "pallas":
+    if impl.startswith("pallas"):
         from htd_tpu.ops.roi_align_pallas import (
             roi_align_fused_batched_trainable,
         )
@@ -93,6 +93,7 @@ def single_roi_extract_batched(
             out_size=cfg.out_size,
             sampling_ratio=cfg.sampling_ratio,
             max_samples=cfg.max_samples,
+            kernel="v3" if impl == "pallas_v3" else "v4",
         )
     from htd_tpu.ops.roi_align import roi_align_pyramid_batched
 

@@ -114,7 +114,11 @@ def _roi_align_core(
     row = iy * w_row[:, None, None] + base[:, None, None]  # (R, oh, K)
     idx = (by(row) + bx(ix_t)).reshape(r, oh, ow, k * k)
 
-    v = jnp.take(feat_flat, idx.reshape(-1), axis=0)
+    # mode="clip": indices are in-bounds by construction (border-clamped
+    # rows/cols + valid level offsets); the default "fill" mode emitted an
+    # out-of-bounds select that materialized an f32 copy of the entire
+    # gathered tensor (~0.7 ms per 300k-row gather, trace round 2)
+    v = jnp.take(feat_flat, idx.reshape(-1), axis=0, mode="clip")
     v = v.reshape(r, oh, ow, k * k, c)
     out = jax.lax.dot_general(
         wgt.astype(feat_flat.dtype), v,

@@ -815,11 +815,11 @@ def adpt_align_trainable(
     return fn(tuple(feats), rois)
 
 
-# production v3 geometry: 64x96 px window of 4x3 (16, 32, C) blocks —
-# measured fastest on-chip (tools/bench_roialign.py: 4.50 ms/1000 rois vs
-# v2's 7.10, pyramid gather's 12.6); same roi coverage as v2 (y extent <=
-# 46 after the 16-row origin quantization, x extent <= 62)
-V3_GEOM = dict(y_block=16, n_y=4, x_block=32, n_x=3, pack=1)
+# production v3 geometry: 64x128 px window of 4x2 (16, 64, C) blocks.
+# On artificially clustered rois the 12-block 64x96 window benches faster
+# (4.5 vs 5.7 ms — less traffic), but real NMS proposals are anti-clustered
+# and the kernel is then per-block-DMA bound, where FEWER blocks win.
+V3_GEOM = dict(y_block=16, n_y=4, x_block=64, n_x=2, pack=1)
 
 
 def roi_align_fused(
@@ -961,7 +961,7 @@ def roi_align_pallas_v4(
     max_samples: int = 4,
     interpret: bool = False,
     img_idx: "Array | None" = None,
-    slots: int = 32,
+    slots: int = 24,
 ):
     """v4 'bin-tile' kernel: grid over SPATIAL BINS, not rois.
 
@@ -1032,20 +1032,41 @@ def roi_align_pallas_v4(
     ybin_b = bins // n_xbins
     xbin_b = bins % n_xbins
 
-    # per-slot params (n_bins, slots, 128)
+    # per-slot params, gathered in slot order
     take = jnp.minimum(slot_roi[: n_bins * slots], r - 1)
     valid = (slot_roi[: n_bins * slots] < r).astype(f32)
-    cols = jnp.stack(
-        [start_h[take], start_w[take], bin_h[take], bin_w[take],
-         grid_h[take], grid_w[take], hs[take], ws[take],
-         # resident-region origins in LEVEL coords
-         (jnp.repeat(ybin_b, slots) * V4_Y_STRIPE).astype(f32) - row_off[take],
-         (jnp.repeat(xbin_b, slots) * V4_X_BLOCK).astype(f32),
-         valid],
-        axis=1,
-    )  # (n_bins*slots, 11)
-    params = jnp.pad(cols, ((0, 0), (0, 128 - cols.shape[1])))
-    params = params.reshape(n_bins, slots, 128)
+    y_origin = (jnp.repeat(ybin_b, slots) * V4_Y_STRIPE).astype(f32) - row_off[take]
+    x_origin = (jnp.repeat(xbin_b, slots) * V4_X_BLOCK).astype(f32)
+
+    # Interpolation matrices are PRECOMPUTED here (vectorized XLA) and
+    # streamed to the kernel as pipeline inputs: building them in-kernel
+    # (iota tents unrolled over K slots) made Mosaic compilation take
+    # ~20 MINUTES; with them as inputs the kernel body is two matmuls.
+    ay = _interp_matrix_k(
+        start_h[take], bin_h[take], grid_h[take], hs[take], y_origin,
+        V4_RES_H, out_size, s_max, valid,
+    )  # (n_bins*slots, 7, RES_H)
+    ax = _interp_matrix_k(
+        start_w[take], bin_w[take], grid_w[take], ws[take], x_origin,
+        V4_RES_W, out_size, s_max, valid,
+    )  # (n_bins*slots, 7, RES_W)
+    count = jnp.maximum(grid_h[take] * grid_w[take], 1.0)
+    ay = ay / count[:, None, None]  # fold the adaptive-grid average in
+    # y matrices ship BLOCK-DIAGONAL (K*7, K*RES_H): the second contraction
+    # is per-slot, and a batched dot_general lowers to the VPU (~150 us/
+    # step measured); a block-diagonal 2-D matmul keeps it on the MXU.
+    # The K x zero-padding costs (K-1)/K of the stage-B FLOPs but stage B
+    # is only ~2 GFLOP/step — still ~5x cheaper than the VPU path.
+    eye = jnp.eye(slots, dtype=ay.dtype)
+    ay_bd = jnp.einsum(
+        "nyh,nk->nykh",
+        ay.reshape(n_bins * slots, out_size, V4_RES_H),
+        jnp.tile(eye, (n_bins, 1)),
+    ).reshape(n_bins, slots, out_size, slots, V4_RES_H)
+    ay_bd = ay_bd.reshape(
+        n_bins, slots * out_size, slots * V4_RES_H
+    ).astype(dt)
+    ax = ax.reshape(n_bins, slots * out_size, V4_RES_W).astype(dt)
 
     if interpret or jax.default_backend() == "cpu":
         # jnp emulation with identical binning/origin math (validates the
@@ -1075,58 +1096,50 @@ def roi_align_pallas_v4(
         )
         return out, slot_ovf
 
-    def kernel(ybin_ref, xbin_ref, params_ref, *refs):
+    # the kernel streams the pyramid X-MAJOR ((w_pad, rows_pad, C)): stage
+    # A contracts over w, and an in-kernel (80,192,C) transpose measured
+    # ~33 us/step of VPU row copies — transposing ONCE in XLA is ~free
+    pyr_t = jnp.swapaxes(pyr, 0, 1)
+
+    def kernel(ybin_ref, xbin_ref, ay_ref, ax_ref, *refs):
         del ybin_ref, xbin_ref
         blocks = refs[: V4_N_Y * V4_N_X]
         out_ref = refs[V4_N_Y * V4_N_X]
-        p = params_ref[0]  # (slots, 128)
-        sth, stw = p[:, 0], p[:, 1]
-        bh, bw = p[:, 2], p[:, 3]
-        gh, gw = p[:, 4], p[:, 5]
-        size_h, size_w = p[:, 6], p[:, 7]
-        y_origin, x_origin = p[:, 8], p[:, 9]
-        vld = p[:, 10]
+        ay_bd = ay_ref[0]  # (K*7, K*RES_H) block-diagonal
+        ax_m = ax_ref[0]   # (K*7, RES_W)
 
-        ay = _interp_matrix_k(
-            sth, bh, gh, size_h, y_origin, V4_RES_H, out_size, s_max, vld
-        )  # (K, 7, 80) f32
-        ax = _interp_matrix_k(
-            stw, bw, gw, size_w, x_origin, V4_RES_W, out_size, s_max, vld
-        )  # (K, 7, 192) f32
-        count = jnp.maximum(gh * gw, 1.0)
-
-        ay_m = ay.reshape(slots * out_size, V4_RES_H).astype(dt)
-        acc = jnp.zeros((slots, out_size, out_size, c), f32)
+        # assemble the x-major (RES_W, RES_H, C) resident region
+        cols = []
         for kx in range(V4_N_X):
-            # assemble this x-block's full 80-row strip, then ONE matmul
-            # with contraction dim 80 (five 16-deep dots ran the MXU at
-            # 16/128 utilization — measured ~2.5x slower overall)
-            win = jnp.concatenate(
-                [blocks[ky * V4_N_X + kx][:] for ky in range(V4_N_Y)], axis=0
-            )  # (80, 96, C)
-            m = jnp.dot(
-                ay_m,
-                win.reshape(V4_RES_H, V4_X_BLOCK * c),
-                preferred_element_type=f32,
-            )
-            t = m.reshape(slots, out_size, V4_X_BLOCK, c).astype(dt)
-            ax_b = ax[:, :, kx * V4_X_BLOCK:(kx + 1) * V4_X_BLOCK].astype(dt)
-            part = jax.lax.dot_general(
-                ax_b, t,
-                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=f32,
-            )  # (K, 7_x, 7_y, C)
-            acc = acc + jnp.swapaxes(part, 1, 2)
-        out_ref[0] = (acc / count[:, None, None, None]).astype(out_ref.dtype)
+            cols.append(jnp.concatenate(
+                [blocks[kx * V4_N_Y + ky][:] for ky in range(V4_N_Y)], axis=1
+            ))
+        wt = jnp.concatenate(cols, axis=0)  # (192, 80, C)
+
+        # stage A (x contract, shared resident): (K*7x, W) @ (W, H*C)
+        u = jnp.dot(
+            ax_m, wt.reshape(V4_RES_W, V4_RES_H * c),
+            preferred_element_type=f32,
+        ).astype(dt)  # (K*7x, H*C)
+        # stage B (y contract, per-slot): block-diag (K*7y, K*H) @ (K*H, 7x*C)
+        u4 = u.reshape(slots, out_size, V4_RES_H, c)
+        u4 = jnp.swapaxes(u4, 1, 2)  # (K, H, 7x, C)
+        out = jnp.dot(
+            ay_bd, u4.reshape(slots * V4_RES_H, out_size * c),
+            preferred_element_type=f32,
+        )  # (K*7y, 7x*C) — rows (k, y), cols (x, c): final order directly
+        out_ref[0] = out.reshape(
+            slots, out_size, out_size, c
+        ).astype(out_ref.dtype)
 
     block_specs = []
-    for ky in range(V4_N_Y):
-        for kx in range(V4_N_X):
+    for kx in range(V4_N_X):
+        for ky in range(V4_N_Y):
             block_specs.append(
                 pl.BlockSpec(
-                    (V4_Y_STRIPE, V4_X_BLOCK, c),
+                    (V4_X_BLOCK, V4_Y_STRIPE, c),
                     functools.partial(
-                        lambda i, yb, xb, ky, kx: (yb[i] + ky, xb[i] + kx, 0),
+                        lambda i, yb, xb, ky, kx: (xb[i] + kx, yb[i] + ky, 0),
                         ky=ky, kx=kx,
                     ),
                     memory_space=pltpu.VMEM,
@@ -1137,10 +1150,12 @@ def roi_align_pallas_v4(
         num_scalar_prefetch=2,
         grid=(n_bins,),
         in_specs=[
-            # params feed VECTOR reads (per-slot columns), so VMEM — SMEM
-            # only lowers scalar reads on this platform
-            pl.BlockSpec((1, slots, 128), lambda i, yb, xb: (i, 0, 0),
-                         memory_space=pltpu.VMEM)
+            pl.BlockSpec((1, slots * out_size, slots * V4_RES_H),
+                         lambda i, yb, xb: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, slots * out_size, V4_RES_W),
+                         lambda i, yb, xb: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ]
         + block_specs,
         out_specs=pl.BlockSpec(
@@ -1156,14 +1171,14 @@ def roi_align_pallas_v4(
         out_shape=jax.ShapeDtypeStruct(
             (n_bins, slots, out_size, out_size, c), dt
         ),
-        # scoped VMEM ~40 MB at K=32: 10 double-buffered (16, 96, C) bf16
-        # blocks (15.7 MB) + the (K*7, 96C) f32 y-contract intermediate
-        # (22 MB) + assembled strip + out
+        # scoped VMEM ~45 MB at K=32: 10 double-buffered (16, 96, C) bf16
+        # blocks (15.7 MB) + ay/ax blocks + the (K*7, 96C) f32 y-contract
+        # intermediate (22 MB) + assembled strip + out
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=80 * 1024 * 1024
         ),
         interpret=interpret,
-    )(ybin_b, xbin_b, params, *([pyr] * (V4_N_Y * V4_N_X)))
+    )(ybin_b, xbin_b, ay_bd, ax, *([pyr_t] * (V4_N_Y * V4_N_X)))
 
     flat = slot_out.reshape(n_bins * slots, out_size, out_size, c)
     flat = jnp.concatenate(
@@ -1182,6 +1197,7 @@ def roi_align_fused_batched(
     max_samples: int = 4,
     interpret: bool = False,
     fallback_cap: int = None,
+    kernel: str = "v4",
 ) -> Array:
     """Batched fused RoIAlign: levels (B, H, W, C), rois (B, R, 4).
 
@@ -1199,16 +1215,39 @@ def roi_align_fused_batched(
     scales = jnp.asarray([1.0 / s for s in strides], f32)[flat_lvls]
     ext_w = (flat_rois[:, 2] - flat_rois[:, 0]).astype(f32) * scales
     ext_h = (flat_rois[:, 3] - flat_rois[:, 1]).astype(f32) * scales
-    size_ovf = (ext_w > V4_COVER_W) | (ext_h > V4_COVER_H)
+    if kernel == "v4":
+        size_ovf = (ext_w > V4_COVER_W) | (ext_h > V4_COVER_H)
+        flat_out, slot_ovf = roi_align_pallas_v4(
+            list(feats), flat_rois, strides, flat_lvls,
+            out_size=out_size, sampling_ratio=sampling_ratio,
+            max_samples=max_samples, interpret=interpret, img_idx=img_idx,
+        )
+        overflow = size_ovf | slot_ovf
+    else:
+        g = V3_GEOM
+        win_h, win_w = g["n_y"] * g["y_block"], g["n_x"] * g["x_block"]
+        size_ovf = (ext_w + g["x_block"] + 2 > win_w) | (
+            ext_h + g["y_block"] + 2 > win_h
+        )
+        slot_ovf = jnp.zeros_like(size_ovf)
+        if interpret or jax.default_backend() == "cpu":
+            flat_out = jnp.concatenate([
+                roi_align_pallas_v3(
+                    [f[i] for f in feats], rois[i], strides, target_lvls[i],
+                    out_size=out_size, sampling_ratio=sampling_ratio,
+                    max_samples=max_samples, interpret=True, **g,
+                )
+                for i in range(b)
+            ])
+        else:
+            flat_out = roi_align_pallas_v3(
+                list(feats), flat_rois, strides, flat_lvls,
+                out_size=out_size, sampling_ratio=sampling_ratio,
+                max_samples=max_samples, img_idx=img_idx, **g,
+            )
+        overflow = size_ovf
 
-    flat_out, slot_ovf = roi_align_pallas_v4(
-        list(feats), flat_rois, strides, flat_lvls,
-        out_size=out_size, sampling_ratio=sampling_ratio,
-        max_samples=max_samples, interpret=interpret, img_idx=img_idx,
-    )
-    overflow = size_ovf | slot_ovf
-
-    cap = fallback_cap if fallback_cap is not None else 2 * FALLBACK_CAP * b
+    cap = fallback_cap if fallback_cap is not None else FALLBACK_CAP * b
     cap = min(cap, b * r)
     # slot-overflow rois carry a ZERO row from the kernel (their bin was
     # full) — they MUST win fallback capacity over size-overflow rois,
@@ -1251,7 +1290,7 @@ def roi_align_fused_batched(
 
 @functools.lru_cache(maxsize=None)
 def _trainable_fused_batched(strides, out_size, sampling_ratio, max_samples,
-                             interpret):
+                             interpret, kernel="v4"):
     """custom_vjp wrapper for the batched fused extractor: Pallas forward,
     batched-XLA-pyramid backward (gradients flow into features only)."""
     from htd_tpu.ops.roi_align import roi_align_pyramid_batched as pyramid
@@ -1261,7 +1300,7 @@ def _trainable_fused_batched(strides, out_size, sampling_ratio, max_samples,
         return roi_align_fused_batched(
             list(feats), rois, strides, target_lvls,
             out_size=out_size, sampling_ratio=sampling_ratio,
-            max_samples=max_samples, interpret=interpret,
+            max_samples=max_samples, interpret=interpret, kernel=kernel,
         )
 
     def fwd(feats, rois, target_lvls):
@@ -1287,10 +1326,12 @@ def _trainable_fused_batched(strides, out_size, sampling_ratio, max_samples,
 def roi_align_fused_batched_trainable(
     feats, rois, strides, target_lvls,
     out_size=7, sampling_ratio=0, max_samples=4, interpret=False,
+    kernel="v4",
 ):
     """Differentiable (w.r.t. features) batched fused RoIAlign."""
     fn = _trainable_fused_batched(
-        tuple(strides), out_size, sampling_ratio, max_samples, interpret
+        tuple(strides), out_size, sampling_ratio, max_samples, interpret,
+        kernel,
     )
     return fn(tuple(feats), rois, target_lvls)
 
