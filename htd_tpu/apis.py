@@ -224,6 +224,8 @@ def evaluate_proposals(
         for i, img_id in enumerate(ids):
             if img_id < 0:
                 continue
+            if max_images is not None and seen >= max_images:
+                break  # keep reported AR independent of batch_size
             m = valid[i]
             # proposals are in the resized frame; recall is evaluated in
             # original-image coords like the reference (rescale by sf)

@@ -119,6 +119,16 @@ class HTDDetector(nn.Module):
         logits, feat = self.glbctx_head(feats[-1])
         return logits, feat
 
+    def loss_keys(self) -> Tuple[str, ...]:
+        """Static key set of the `forward_train` loss dict (config-determined;
+        lets callers pack/log losses without an abstract trace)."""
+        keys = ["loss_rpn_cls", "loss_rpn_bbox"]
+        if self.cfg.with_global:
+            keys.append("loss_global")
+        for s in ("s0", "s1"):
+            keys += [f"{s}.loss_cls", f"{s}.loss_bbox", f"{s}.acc"]
+        return tuple(keys)
+
     def _stage0(self, feats4, rois, global_feat):
         roi_feats = self._roi_feats(feats4, rois)
         if global_feat is not None:

@@ -80,6 +80,11 @@ def single_roi_extract_batched(
     impl = cfg.impl
     if impl == "auto":
         impl = "gather" if jax.default_backend() == "cpu" else "pallas"
+    if impl not in ("pallas", "pallas_v3", "pallas_v4", "gather"):
+        raise ValueError(
+            f"unknown roi extractor impl {impl!r}; expected one of "
+            "auto/pallas/pallas_v3/pallas_v4/gather"
+        )
     if impl.startswith("pallas"):
         from htd_tpu.ops.roi_align_pallas import (
             roi_align_fused_batched_trainable,

@@ -348,9 +348,11 @@ def roi_align_pallas_v3(
         pipeline block is contracted against its slice of the interpolation
         matrices and accumulated — scoped VMEM stays small enough for f32
         (v2 exceeded the 16 MB scoped limit in f32 and could not compile).
-      * block geometry is parameterized; the default 64x96 window covers
-        y extent <= 64 - y_block - 2, x extent <= 62 (same fallback contract
-        as v2, handled by roi_align_fused).
+      * block geometry is caller-chosen (production uses V3_GEOM's 64x128
+        window — 4x2 blocks of (16, 64); 64x96 was measured slower, see
+        V3_GEOM's comment); coverage is y extent <= win_h - y_block - 2,
+        x extent <= win_w - x_block - 2 (same fallback contract as v2,
+        handled by roi_align_fused).
       * optional batching: levels may be (B, H, W, C) with `img_idx` (R,)
         giving each roi's image — one pyramid, one grid over all images'
         rois (vmap-free; the whole-batch roi population shares the grid).
@@ -911,7 +913,8 @@ V4_COVER_H = V4_RES_H - V4_Y_STRIPE - 2
 V4_COVER_W = V4_RES_W - V4_X_BLOCK - 2
 
 
-def _v4_bin_rois(start_h, start_w, hs, ws, row_off, n_ybins, n_xbins, slots):
+def _v4_bin_rois(start_h, start_w, hs, ws, row_off, n_ybins, n_xbins, slots,
+                 roi_valid=None):
     """Assign each roi to a spatial bin and a slot within it.
 
     Returns (ybin, xbin, roi_slot, slot_roi, slot_overflow):
@@ -919,6 +922,11 @@ def _v4_bin_rois(start_h, start_w, hs, ws, row_off, n_ybins, n_xbins, slots):
         when the roi overflowed its bin's capacity);
       * slot_roi (n_bins*slots + 1,): each slot's roi index (R = empty);
       * slot_overflow (R,) bool.
+
+    roi_valid (R,) bool, optional: invalid rois (e.g. the zero-box padding
+    of a fixed-capacity proposal array) go straight to the trash slot — they
+    consume no bin capacity and are never reported as overflow, so they
+    cannot crowd valid rois out of the caller's fallback budget.
     """
     f32 = jnp.float32
     r = start_h.shape[0]
@@ -933,12 +941,15 @@ def _v4_bin_rois(start_h, start_w, hs, ws, row_off, n_ybins, n_xbins, slots):
                     ).astype(jnp.int32)
     bin_id = ybin * n_xbins + xbin
     n_bins = n_ybins * n_xbins
+    if roi_valid is not None:
+        # invalid rois sort into a virtual bin past every real one
+        bin_id = jnp.where(roi_valid, bin_id, n_bins)
 
     order = jnp.argsort(bin_id)          # stable
     sb = bin_id[order]
     first = jnp.searchsorted(sb, sb, side="left")
     rank = jnp.arange(r, dtype=jnp.int32) - first.astype(jnp.int32)
-    ok = rank < slots
+    ok = (rank < slots) & (sb < n_bins)
     flat_slot = jnp.where(ok, sb * slots + rank, n_bins * slots)
     slot_roi = jnp.full((n_bins * slots + 1,), r, jnp.int32)
     slot_roi = slot_roi.at[flat_slot].set(order.astype(jnp.int32))
@@ -947,7 +958,7 @@ def _v4_bin_rois(start_h, start_w, hs, ws, row_off, n_ybins, n_xbins, slots):
     roi_slot = jnp.zeros((r,), jnp.int32).at[order].set(
         flat_slot.astype(jnp.int32)
     )
-    overflow = jnp.zeros((r,), bool).at[order].set(~ok)
+    overflow = jnp.zeros((r,), bool).at[order].set(~ok & (sb < n_bins))
     return ybin, xbin, roi_slot, slot_roi, overflow
 
 
@@ -962,6 +973,7 @@ def roi_align_pallas_v4(
     interpret: bool = False,
     img_idx: "Array | None" = None,
     slots: int = 24,
+    roi_valid: "Array | None" = None,
 ):
     """v4 'bin-tile' kernel: grid over SPATIAL BINS, not rois.
 
@@ -1024,7 +1036,8 @@ def roi_align_pallas_v4(
         row_off = row_off + img_idx.astype(f32) * float(img_rows)
 
     ybin_r, xbin_r, roi_slot, slot_roi, slot_ovf = _v4_bin_rois(
-        start_h, start_w, hs, ws, row_off, n_ybins, n_xbins, slots
+        start_h, start_w, hs, ws, row_off, n_ybins, n_xbins, slots,
+        roi_valid=roi_valid,
     )
 
     # per-bin block coordinates for the index maps
@@ -1057,15 +1070,19 @@ def roi_align_pallas_v4(
     # step measured); a block-diagonal 2-D matmul keeps it on the MXU.
     # The K x zero-padding costs (K-1)/K of the stage-B FLOPs but stage B
     # is only ~2 GFLOP/step — still ~5x cheaper than the VPU path.
-    eye = jnp.eye(slots, dtype=ay.dtype)
+    # Memory note: ay_bd is (n_bins, slots*7, slots*80) — ~0.25 GB bf16 at
+    # batch 8 x 800x1344 (n_bins~750, K=24), linear in batch and image area.
+    # Built in the compute dtype directly (multiplying by a 0/1 eye tile is
+    # exact in bf16) so no same-shaped f32 intermediate is materialized.
+    eye = jnp.eye(slots, dtype=dt)
     ay_bd = jnp.einsum(
         "nyh,nk->nykh",
-        ay.reshape(n_bins * slots, out_size, V4_RES_H),
+        ay.reshape(n_bins * slots, out_size, V4_RES_H).astype(dt),
         jnp.tile(eye, (n_bins, 1)),
     ).reshape(n_bins, slots, out_size, slots, V4_RES_H)
     ay_bd = ay_bd.reshape(
         n_bins, slots * out_size, slots * V4_RES_H
-    ).astype(dt)
+    )
     ax = ax.reshape(n_bins, slots * out_size, V4_RES_W).astype(dt)
 
     if interpret or jax.default_backend() == "cpu":
@@ -1171,9 +1188,9 @@ def roi_align_pallas_v4(
         out_shape=jax.ShapeDtypeStruct(
             (n_bins, slots, out_size, out_size, c), dt
         ),
-        # scoped VMEM ~45 MB at K=32: 10 double-buffered (16, 96, C) bf16
-        # blocks (15.7 MB) + ay/ax blocks + the (K*7, 96C) f32 y-contract
-        # intermediate (22 MB) + assembled strip + out
+        # scoped VMEM ~35 MB at the default K=24 slots: 10 double-buffered
+        # (16, 96, C) bf16 blocks (15.7 MB) + ay/ax blocks + the (K*7, 96C)
+        # f32 y-contract intermediate (16.5 MB) + assembled strip + out
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=80 * 1024 * 1024
         ),
@@ -1212,6 +1229,16 @@ def roi_align_fused_batched(
     flat_lvls = target_lvls.reshape(b * r)
     img_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), r)
 
+    # Degenerate rois (the zero-box padding of fixed-capacity proposal
+    # arrays) must not consume kernel bin slots OR fallback budget: with
+    # hundreds of padded rois per image all binned to level-0 (0,0), they
+    # would otherwise slot-overflow at score 2.0 and exhaust the fallback
+    # cap, leaving VALID slot-overflow rois of later images with the
+    # kernel's zero rows.
+    roi_ok = ((flat_rois[:, 2] - flat_rois[:, 0]) > 0.0) & (
+        (flat_rois[:, 3] - flat_rois[:, 1]) > 0.0
+    )
+
     scales = jnp.asarray([1.0 / s for s in strides], f32)[flat_lvls]
     ext_w = (flat_rois[:, 2] - flat_rois[:, 0]).astype(f32) * scales
     ext_h = (flat_rois[:, 3] - flat_rois[:, 1]).astype(f32) * scales
@@ -1221,6 +1248,7 @@ def roi_align_fused_batched(
             list(feats), flat_rois, strides, flat_lvls,
             out_size=out_size, sampling_ratio=sampling_ratio,
             max_samples=max_samples, interpret=interpret, img_idx=img_idx,
+            roi_valid=roi_ok,
         )
         overflow = size_ovf | slot_ovf
     else:
@@ -1251,8 +1279,10 @@ def roi_align_fused_batched(
     cap = min(cap, b * r)
     # slot-overflow rois carry a ZERO row from the kernel (their bin was
     # full) — they MUST win fallback capacity over size-overflow rois,
-    # whose kernel value is merely a truncated-coverage approximation
+    # whose kernel value is merely a truncated-coverage approximation;
+    # degenerate (padding) rois never compete at all
     score = jnp.where(slot_ovf, 2.0, 0.0) + jnp.where(size_ovf, 1.0, 0.0)
+    score = jnp.where(roi_ok, score, 0.0)
     top, idx = jax.lax.top_k(score, cap)
     sel_valid = top > 0.0
     # fallback must respect each roi's image: batched-pyramid flat gather

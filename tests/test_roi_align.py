@@ -303,3 +303,77 @@ def test_fused_batched_trainable_grad(rng):
     g2 = jax.grad(loss_pyr)(tuple(feats))
     for a, b_ in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-5)
+
+
+def test_v4_degenerate_rois_trash_slot_and_fallback_priority(rng):
+    """Zero-box padding must not consume v4 bin slots or fallback budget.
+
+    Regression test (round-2 advisor, high): padded invalid proposals all
+    map to level-0 bin (0,0); before the fix they slot-overflowed at score
+    2.0, exhausted the fallback cap, and valid slot-overflow rois of later
+    images silently kept the kernel's zero rows.
+    """
+    from htd_tpu.ops.roi_align_pallas import _v4_bin_rois
+
+    r = 64
+    slots = 8
+    # 40 degenerate rois (start at origin) + 24 valid rois in the SAME bin
+    start_h = jnp.zeros((r,), jnp.float32)
+    start_w = jnp.zeros((r,), jnp.float32)
+    hs = jnp.full((r,), 64.0)
+    ws = jnp.full((r,), 64.0)
+    row_off = jnp.zeros((r,), jnp.float32)
+    valid = jnp.asarray(np.arange(r) >= 40)  # first 40 invalid
+
+    ybin, xbin, roi_slot, slot_roi, ovf = _v4_bin_rois(
+        start_h, start_w, hs, ws, row_off, 4, 4, slots, roi_valid=valid
+    )
+    ovf = np.asarray(ovf)
+    roi_slot = np.asarray(roi_slot)
+    trash = 16 * slots
+    # invalid rois: all in the trash slot, never reported as overflow
+    assert (roi_slot[:40] == trash).all()
+    assert not ovf[:40].any()
+    # valid rois: the bin's `slots` capacity is theirs alone — exactly
+    # (24 - slots) overflow, the rest hold real slots
+    assert ovf[40:].sum() == 24 - slots
+    held = roi_slot[40:][~ovf[40:]]
+    assert (held != trash).all() and len(set(held.tolist())) == slots
+    # without the validity mask the invalid rois would have eaten the bin
+    _, _, _, _, ovf_nomask = _v4_bin_rois(
+        start_h, start_w, hs, ws, row_off, 4, 4, slots
+    )
+    assert np.asarray(ovf_nomask).sum() == r - slots
+
+
+def test_fused_batched_padded_rois_do_not_starve_fallback(rng):
+    """End-to-end (emulation path): valid rois stay exact even when earlier
+    images carry far more zero-padded rois than the fallback cap."""
+    from htd_tpu.ops.roi_align import roi_align_pyramid
+    from htd_tpu.ops.roi_align_pallas import roi_align_fused_batched
+
+    strides = (4, 8, 16, 32)
+    b = 2
+    feats = [
+        jnp.asarray(rng.normal(0, 1, (b, 64 // (2 ** i), 96 // (2 ** i), 8))
+                    .astype(np.float32))
+        for i in range(4)
+    ]
+    r = 48
+    rois = np.zeros((b, r, 4), np.float32)  # image 0: ALL zero padding
+    # image 1: valid rois crowded into one corner (one v4 bin)
+    rois[1, :, 0] = rng.uniform(0, 30, r)
+    rois[1, :, 1] = rng.uniform(0, 30, r)
+    rois[1, :, 2] = rois[1, :, 0] + rng.uniform(5, 25, r)
+    rois[1, :, 3] = rois[1, :, 1] + rng.uniform(5, 25, r)
+    lvls = jax.vmap(lambda rr: map_roi_levels(rr, 4))(jnp.asarray(rois))
+    out = roi_align_fused_batched(
+        feats, jnp.asarray(rois), strides, lvls, 7, 0, 4,
+        interpret=True, fallback_cap=8,
+    )
+    ref = roi_align_pyramid(
+        [f[1] for f in feats], jnp.asarray(rois[1]), strides, lvls[1], 7, 0, 4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out[1]), np.asarray(ref), rtol=1e-4, atol=1e-5
+    )
