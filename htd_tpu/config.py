@@ -27,6 +27,7 @@ class BackboneConfig:
     norm_eval: bool = True               # BN uses frozen running stats
     stage_with_dcn: Tuple[bool, ...] = (False, False, False, False)
     dcn_deform_groups: int = 1
+    base_planes: int = 64                # stage-1 width (tests/dryruns shrink)
 
 
 @dataclass(frozen=True)

@@ -58,6 +58,7 @@ class HTDDetector(nn.Module):
             out_indices=c.backbone.out_indices,
             stage_with_dcn=c.backbone.stage_with_dcn,
             deform_groups=c.backbone.dcn_deform_groups,
+            base_planes=c.backbone.base_planes,
             dtype=dt,
             name="backbone",
         )

@@ -206,18 +206,20 @@ class ResNet(nn.Module):
     out_indices: Tuple[int, ...] = (0, 1, 2, 3)
     stage_with_dcn: Tuple[bool, ...] = (False, False, False, False)
     deform_groups: int = 1
+    base_planes: int = 64    # stage-1 width; != 64 only for test/dryrun minis
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array) -> Tuple[Array, ...]:
         blocks = ARCH_BLOCKS[self.depth]
-        x = conv(64, 7, 2, use_bias=False, dtype=self.dtype, name="conv1")(x)
-        x = FrozenBatchNorm(64, dtype=self.dtype, name="bn1")(x)
+        p0 = self.base_planes
+        x = conv(p0, 7, 2, use_bias=False, dtype=self.dtype, name="conv1")(x)
+        x = FrozenBatchNorm(p0, dtype=self.dtype, name="bn1")(x)
         x = nn.relu(x)
         x = max_pool(x, 3, 2, 1)
 
         outs = []
-        planes = 64
+        planes = p0
         for stage in range(4):
             stride = 1 if stage == 0 else 2
             for i in range(blocks[stage]):
