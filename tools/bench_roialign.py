@@ -132,6 +132,12 @@ def main():
                 feats_b1(), r[None], strides, l[None], max_samples=4)[0],
             (16, rap.V4_COVER_H + 16 + 2, 96, rap.V4_COVER_W + 96 + 2),
         ),
+        "v4_fused_after_conv": (
+            lambda r, l: rap.roi_align_fused_batched(
+                [f[None] for f in conv_feats()], r[None], strides, l[None],
+                max_samples=4)[0],
+            (16, rap.V4_COVER_H + 16 + 2, 96, rap.V4_COVER_W + 96 + 2),
+        ),
     }
     for pack, ny, yb, nx, xb in (
         (1, 4, 16, 2, 64),   # 64x128 window (round-2 baseline geometry)

@@ -60,11 +60,16 @@ def main():
     variables = init_fn(jax.random.PRNGKey(0), images, shapes, sfs)
 
     def prefix_fn(upto):
-        """Pipeline prefix as a scalar-returning fn of (images + eps)."""
+        """Pipeline prefix as a scalar-returning fn of (variables, images+eps).
 
-        def fn(img_i):
+        `variables` MUST be an argument, not a closure capture: captured
+        arrays serialize into the HLO as literal constants, and the full
+        param set blows past the remote-compile request size limit
+        (observed HTTP 413 on the stage1/full prefixes)."""
+
+        def fn(vs, img_i):
             out = model.apply(
-                variables, img_i, shapes, sfs, upto, method=model.profile_prefix
+                vs, img_i, shapes, sfs, upto, method=model.profile_prefix
             )
             return out
 
@@ -88,14 +93,14 @@ def main():
         fn = prefix_fn(s)
 
         @jax.jit
-        def run_n(img, n, fn=fn):
+        def run_n(vs, img, n, fn=fn):
             def body(i, acc):
-                return acc + fn(img + i.astype(img.dtype) * 1e-9)
+                return acc + fn(vs, img + i.astype(img.dtype) * 1e-9)
 
             return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
 
         try:
-            ms = slope(lambda k: run_n(images, k)) * 1000
+            ms = slope(lambda k: run_n(variables, images, k)) * 1000
         except Exception as e:
             print(f"{s:16s} FAILED: {str(e)[:120]}")
             continue
