@@ -296,6 +296,27 @@ class HTDDetector(nn.Module):
                     c.roi_extractor.max_samples,
                 )
                 return jnp.sum(out.astype(jnp.float32)) * 1e-6
+            if upto == "extract_part_v4pyrT":
+                max_w = max(int(f.shape[-2]) for f in feats4)
+                wpt = ((max_w - 1) // rap.V4_X_BLOCK + 2) * rap.V4_X_BLOCK
+                pyr, *_ = rap._build_pyramid(
+                    feats4, rap.V4_RES_H, wpt - rap.V4_X_BLOCK,
+                    rap.V4_X_BLOCK, rap.V4_Y_STRIPE,
+                )
+                return jnp.sum(
+                    jnp.swapaxes(pyr, 0, 1).astype(jnp.float32)) * 1e-6
+            if upto == "extract_part_v4kernel":
+                out, _ = rap.roi_align_pallas_v4(
+                    feats4, synth, strides, lvls, 7, 0,
+                    c.roi_extractor.max_samples,
+                )
+                return jnp.sum(out.astype(jnp.float32)) * 1e-6
+            if upto == "extract_part_v4full":
+                out = rap.roi_align_fused_batched(
+                    [f[None] for f in feats4], synth[None], strides,
+                    lvls[None], 7, 0, c.roi_extractor.max_samples,
+                )
+                return jnp.sum(out.astype(jnp.float32)) * 1e-6
             raise ValueError(upto)
         if upto == "backbone_extract":
             # backbone -> extract on synthetic rois, NO RPN/NMS/SFA in the

@@ -14,6 +14,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from htd_tpu.models.layers import conv, max_pool, resize_nearest
+from htd_tpu.ops.upsample import upsample2x_add
 
 Array = jnp.ndarray
 
@@ -34,7 +35,18 @@ class FPN(nn.Module):
         ]
         for i in range(n - 1, 0, -1):
             target = laterals[i - 1].shape[-3:-1]
-            laterals[i - 1] = laterals[i - 1] + resize_nearest(laterals[i], target)
+            lo, hi = laterals[i], laterals[i - 1]
+            if (
+                lo.ndim == 4
+                and target[0] == 2 * lo.shape[-3]
+                and target[1] == 2 * lo.shape[-2]
+            ):
+                # fused Pallas upsample+add: pins row-major layouts at the
+                # custom-call boundary so XLA cannot flip the surrounding
+                # convs into the slow T(2,128) layout (see ops/upsample.py)
+                laterals[i - 1] = upsample2x_add(lo, hi)
+            else:
+                laterals[i - 1] = hi + resize_nearest(lo, target)
         outs = [
             conv(self.out_channels, 3, 1, dtype=self.dtype, name=f"fpn_{i}")(
                 laterals[i]

@@ -111,6 +111,8 @@ def resize_nearest(x: Array, size: Tuple[int, int]) -> Array:
     Exact integer upscales use broadcast+reshape: jax.image.resize lowers
     to a resize op whose T(2,128) output layout poisoned the downstream
     FPN/RPN convolutions (measured 7x slower on P2; PERF.md round 2).
+    A flat row-gather formulation was also tried and was WORSE in-program
+    (backbone+FPN 3.9 -> 10.0 ms; PERF.md round-3 negative results).
     """
     h, w = int(x.shape[-3]), int(x.shape[-2])
     th, tw = int(size[0]), int(size[1])

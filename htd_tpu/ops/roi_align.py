@@ -41,6 +41,10 @@ def _roi_align_core(
     out_size: int,
     sampling_ratio: int,
     max_samples: int,
+    row_stride: Array = None,  # (R,) flat-index stride between feature rows
+                               # (defaults to fw: densely packed levels);
+                               # pass the pyramid W_pad to gather straight
+                               # from a width-padded pyramid buffer
 ) -> Array:
     r = rois.shape[0]
     c = feat_flat.shape[-1]
@@ -89,7 +93,7 @@ def _roi_align_core(
     y_low, y_high, ly, y_in = axis_interp(y, size_h)
     hx, hy = 1.0 - lx, 1.0 - ly
 
-    w_row = fw.astype(jnp.int32)
+    w_row = (fw if row_stride is None else row_stride).astype(jnp.int32)
     base = row_offset.astype(jnp.int32)
 
     # Fold the (sample, corner) structure into per-axis weight/index tables

@@ -33,6 +33,7 @@ max_samples clamp); verified bit-close in tests (interpret mode + TPU).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Sequence
 
 import numpy as np
@@ -126,6 +127,46 @@ def _build_pyramid(feats, win_h=None, win_w=None, x_block=None, y_block=None):
         rows = img_rows
     rows_pad = (rows + win_h + y_block - 1) // y_block * y_block
     pyr = jnp.pad(pyr, ((0, rows_pad - rows), (0, 0), (0, 0)))
+    return pyr, offsets[:-1], w_pad, rows_pad, img_rows
+
+
+def _build_pyramid_xmajor(feats, win_h, win_w, x_block, y_block):
+    """X-major pyramid (w_pad, rows_pad, C): same row semantics as
+    `swapaxes(_build_pyramid(...), 0, 1)` but built from per-LEVEL
+    transposes.
+
+    Rationale (profiled): the row-major concat chain of `_build_pyramid`
+    back-propagates a slow layout into the producing FPN convs during XLA
+    layout assignment (P2 3x3 conv 0.38 -> 2.66 ms in-program), and
+    `optimization_barrier` does not stop layout negotiation. TPU conv
+    outputs natively prefer an H-minor ({3,1,2,0}) layout, so per-level
+    (H,W)->(W,H) transposes are near-free relayouts and the concat then
+    happens in the layout everything already has.
+    """
+    batched = feats[0].ndim == 4
+    c = feats[0].shape[-1]
+    w_pad = max(win_w + x_block, max(int(f.shape[-2]) for f in feats))
+    w_pad = (w_pad + x_block - 1) // x_block * x_block
+    parts = []
+    offsets = [0]
+    for f in feats:
+        h, w = int(f.shape[-3]), int(f.shape[-2])
+        ft = jnp.swapaxes(f, -3, -2)  # (..., W, H, C)
+        pad = ((0, w_pad - w), (0, 0), (0, 0))
+        if batched:
+            pad = ((0, 0),) + pad
+        parts.append(jnp.pad(ft, pad))
+        offsets.append(offsets[-1] + h)
+    img_rows = offsets[-1]
+    pyr = jnp.concatenate(parts, axis=-2)  # (..., w_pad, img_rows, C)
+    if batched:
+        b = int(feats[0].shape[0])
+        pyr = jnp.swapaxes(pyr, 0, 1).reshape(w_pad, b * img_rows, c)
+        rows = b * img_rows
+    else:
+        rows = img_rows
+    rows_pad = (rows + win_h + y_block - 1) // y_block * y_block
+    pyr = jnp.pad(pyr, ((0, 0), (0, rows_pad - rows), (0, 0)))
     return pyr, offsets[:-1], w_pad, rows_pad, img_rows
 
 
@@ -1007,9 +1048,23 @@ def roi_align_pallas_v4(
     # w_pad large enough that xbin+1 block indices stay in range
     max_w = max(int(f.shape[-2]) for f in feats)
     w_pad_target = ((max_w - 1) // V4_X_BLOCK + 2) * V4_X_BLOCK
-    pyr, offsets, w_pad, rows_pad, img_rows = _build_pyramid(
-        feats, V4_RES_H, w_pad_target - V4_X_BLOCK, V4_X_BLOCK, V4_Y_STRIPE
+    use_xmajor = (
+        not interpret
+        and jax.default_backend() != "cpu"
+        and os.environ.get("HTD_V4_XMAJOR", "0") == "1"
     )
+    if use_xmajor:
+        pyr_t, offsets, w_pad, rows_pad, img_rows = _build_pyramid_xmajor(
+            feats, V4_RES_H, w_pad_target - V4_X_BLOCK, V4_X_BLOCK,
+            V4_Y_STRIPE,
+        )
+        pyr = None
+    else:
+        pyr, offsets, w_pad, rows_pad, img_rows = _build_pyramid(
+            feats, V4_RES_H, w_pad_target - V4_X_BLOCK, V4_X_BLOCK,
+            V4_Y_STRIPE,
+        )
+        pyr_t = None
     n_ybins = rows_pad // V4_Y_STRIPE - (V4_N_Y - 1)
     n_xbins = w_pad // V4_X_BLOCK - (V4_N_X - 1)
     n_bins = n_ybins * n_xbins
@@ -1115,8 +1170,11 @@ def roi_align_pallas_v4(
 
     # the kernel streams the pyramid X-MAJOR ((w_pad, rows_pad, C)): stage
     # A contracts over w, and an in-kernel (80,192,C) transpose measured
-    # ~33 us/step of VPU row copies — transposing ONCE in XLA is ~free
-    pyr_t = jnp.swapaxes(pyr, 0, 1)
+    # ~33 us/step of VPU row copies — transposing ONCE in XLA is ~free.
+    # HTD_V4_XMAJOR=1 builds the pyramid x-major from per-level transposes
+    # instead (see _build_pyramid_xmajor); A/B-able, off by default.
+    if pyr_t is None:
+        pyr_t = jnp.swapaxes(pyr, 0, 1)
 
     def kernel(ybin_ref, xbin_ref, ay_ref, ax_ref, *refs):
         del ybin_ref, xbin_ref
@@ -1285,33 +1343,61 @@ def roi_align_fused_batched(
     score = jnp.where(roi_ok, score, 0.0)
     top, idx = jax.lax.top_k(score, cap)
     sel_valid = top > 0.0
-    # fallback must respect each roi's image: batched-pyramid flat gather
-    # with explicit per-roi (image, level) row offsets
+    # fallback must respect each roi's image: flat row gather with explicit
+    # per-roi (image, level) row offsets
     from htd_tpu.ops import roi_align as _ra
 
     c = feats[0].shape[-1]
     hs = np.array([f.shape[1] for f in feats], np.float32)
     ws = np.array([f.shape[2] for f in feats], np.float32)
-    sizes = [int(f.shape[1] * f.shape[2]) for f in feats]
-    img_size = int(np.sum(sizes))
-    lvl_offs = np.concatenate([[0], np.cumsum(sizes)])[:-1].astype(np.int32)
     sc = np.array([1.0 / s for s in strides], np.float32)
-    flat_buf = jnp.concatenate(
-        [jnp.concatenate([f[i].reshape(-1, c) for f in feats], axis=0)
-         for i in range(b)],
-        axis=0,
-    )
     lv_sub = flat_lvls[idx]
+    if kernel == "v4":
+        # gather straight from the SAME width-padded pyramid the v4 kernel
+        # streams — the _build_pyramid call is identical to the one inside
+        # roi_align_pallas_v4, so XLA CSEs the two builds into one. The
+        # previous per-image flat concat materialized a second full copy of
+        # all levels (~44 MB/img at 768x1344) purely for <=FALLBACK_CAP
+        # fallback rois.
+        max_w = max(int(f.shape[-2]) for f in feats)
+        w_pad_t = ((max_w - 1) // V4_X_BLOCK + 2) * V4_X_BLOCK
+        pyr_fb, offs_fb, w_pad_fb, _, img_rows_fb = _build_pyramid(
+            list(feats), V4_RES_H, w_pad_t - V4_X_BLOCK, V4_X_BLOCK,
+            V4_Y_STRIPE,
+        )
+        flat_buf = pyr_fb.reshape(-1, c)
+        lvl_row_offs = np.concatenate(
+            [[0], np.cumsum([int(f.shape[1]) for f in feats])]
+        )[:-1].astype(np.int32)
+        base_rows = (
+            img_idx[idx] * img_rows_fb + jnp.asarray(lvl_row_offs)[lv_sub]
+        )
+        row_offset = base_rows * w_pad_fb
+        row_stride = jnp.full_like(row_offset, w_pad_fb)
+    else:
+        sizes = [int(f.shape[1] * f.shape[2]) for f in feats]
+        img_size = int(np.sum(sizes))
+        lvl_offs = np.concatenate([[0], np.cumsum(sizes)])[:-1].astype(
+            np.int32
+        )
+        flat_buf = jnp.concatenate(
+            [jnp.concatenate([f[i].reshape(-1, c) for f in feats], axis=0)
+             for i in range(b)],
+            axis=0,
+        )
+        row_offset = jnp.asarray(lvl_offs)[lv_sub] + img_idx[idx] * img_size
+        row_stride = None
     sub = _ra._roi_align_core(
         flat_buf,
         flat_rois[idx],
         scale=jnp.asarray(sc)[lv_sub],
         fh=jnp.asarray(hs)[lv_sub],
         fw=jnp.asarray(ws)[lv_sub],
-        row_offset=jnp.asarray(lvl_offs)[lv_sub] + img_idx[idx] * img_size,
+        row_offset=row_offset,
         out_size=out_size,
         sampling_ratio=sampling_ratio,
         max_samples=max_samples,
+        row_stride=row_stride,
     )
     patched = jnp.where(sel_valid[:, None, None, None], sub, flat_out[idx])
     flat_out = flat_out.at[idx].set(patched.astype(flat_out.dtype))

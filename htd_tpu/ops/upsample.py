@@ -1,0 +1,104 @@
+"""Fused nearest-2x upsample + add (the FPN top-down step) as a Pallas op.
+
+Why a kernel for something XLA can fuse: it CAN'T fuse it well here. The
+broadcast+reshape lowering of an exact-2x nearest upsample is only free in
+a T(2,128) bitcast-friendly layout, and XLA's layout assignment propagates
+that layout back through the producing FPN/RPN convolutions, which then run
+~7x slower (P2 3x3 conv 0.38 -> 2.7 ms in-program; PERF.md round 3). A
+jax.image.resize op and a flat row-gather formulation poison layouts the
+same way. A Pallas custom call pins {2,1,0} row-major operands at ITS
+boundary only: the convolutions keep their native layouts and XLA inserts
+one cheap relayout copy (~0.1 ms for the 33 MB P2 level) instead of
+flipping conv layouts.
+
+Semantics match `resize_nearest(low, 2x) + lat` exactly (pure duplication,
+no resampling), reference FPN top-down step mmdet/models/necks/fpn.py:152
+(`F.interpolate(..., scale_factor=2, mode='nearest')` + add).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jnp.ndarray
+
+# test hook: run the Pallas kernel in interpret mode on CPU (the normal
+# CPU path short-circuits to the XLA broadcast form and would never
+# exercise the kernel body under the CPU-only test suite)
+_INTERPRET = False
+
+
+def _xla_up2_add(low: Array, lat: Array) -> Array:
+    b, h, w, c = low.shape
+    x = jnp.broadcast_to(
+        low[:, :, None, :, None, :], (b, h, 2, w, 2, c)
+    ).reshape(b, 2 * h, 2 * w, c)
+    return lat + x
+
+
+def _kernel(low_ref, lat_ref, out_ref):
+    x = low_ref[0]  # (yb, w, c)
+    yb, w, c = x.shape
+    # y-interleave: leading (loop) dim, broadcast+reshape is free
+    x = jnp.broadcast_to(x[:, None], (yb, 2, w, c)).reshape(2 * yb, w, c)
+    # x-interleave on the sublane dim
+    x = pltpu.repeat(x[:, :, None, :], 2, axis=2).reshape(2 * yb, 2 * w, c)
+    out_ref[0] = lat_ref[0] + x.astype(lat_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def upsample2x_add(low: Array, lat: Array) -> Array:
+    """lat + nearest_2x_upsample(low).
+
+    low: (B, h, w, C); lat: (B, 2h, 2w, C). Falls back to the XLA
+    broadcast form off-TPU or on non-exact shapes.
+    """
+    return _up2_add_impl(low, lat)
+
+
+def _up2_add_impl(low: Array, lat: Array) -> Array:
+    b, h, w, c = low.shape
+    b2, h2, w2, c2 = lat.shape
+    if h2 != 2 * h or w2 != 2 * w or b2 != b or c2 != c:
+        from htd_tpu.models.layers import resize_nearest
+
+        return lat + resize_nearest(low, (h2, w2))
+    if jax.default_backend() == "cpu" and not _INTERPRET:
+        return _xla_up2_add(low, lat)
+    yb = 8
+    while h % yb:
+        yb //= 2
+    grid = (b, h // yb)
+    return pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, yb, w, c), lambda bi, i: (bi, i, 0, 0)),
+            pl.BlockSpec((1, 2 * yb, w2, c), lambda bi, i: (bi, i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 2 * yb, w2, c), lambda bi, i: (bi, i, 0, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct(lat.shape, lat.dtype),
+        interpret=_INTERPRET,
+    )(low, lat)
+
+
+def _fwd(low, lat):
+    return _up2_add_impl(low, lat), None
+
+
+def _bwd(_, g):
+    # d/dlat = g; d/dlow = 2x2 sum-pool of g (each low pixel fans out to a
+    # 2x2 block of the upsampled grid)
+    b, h2, w2, c = g.shape
+    d_low = g.reshape(b, h2 // 2, 2, w2 // 2, 2, c).sum(axis=(2, 4))
+    return d_low, g
+
+
+upsample2x_add.defvjp(_fwd, _bwd)

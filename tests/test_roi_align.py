@@ -377,3 +377,25 @@ def test_fused_batched_padded_rois_do_not_starve_fallback(rng):
     np.testing.assert_allclose(
         np.asarray(out[1]), np.asarray(ref), rtol=1e-4, atol=1e-5
     )
+
+
+def test_build_pyramid_xmajor_matches_transposed(rng):
+    """x-major builder == swapaxes(row-major builder) for both arities."""
+    from htd_tpu.ops.roi_align_pallas import (
+        _build_pyramid, _build_pyramid_xmajor, V4_RES_H, V4_X_BLOCK,
+        V4_Y_STRIPE,
+    )
+
+    for batched in (False, True):
+        shape = lambda h, w: ((2, h, w, 8) if batched else (h, w, 8))
+        feats = [jnp.asarray(rng.normal(0, 1, shape(32 // (2 ** i), 48 // (2 ** i)))
+                             .astype(np.float32)) for i in range(3)]
+        max_w = max(int(f.shape[-2]) for f in feats)
+        wpt = ((max_w - 1) // V4_X_BLOCK + 2) * V4_X_BLOCK
+        a, offs_a, wp_a, rp_a, ir_a = _build_pyramid(
+            feats, V4_RES_H, wpt - V4_X_BLOCK, V4_X_BLOCK, V4_Y_STRIPE)
+        b, offs_b, wp_b, rp_b, ir_b = _build_pyramid_xmajor(
+            feats, V4_RES_H, wpt - V4_X_BLOCK, V4_X_BLOCK, V4_Y_STRIPE)
+        assert (offs_a, wp_a, rp_a, ir_a) == (offs_b, wp_b, rp_b, ir_b)
+        np.testing.assert_array_equal(
+            np.asarray(jnp.swapaxes(a, 0, 1)), np.asarray(b))
