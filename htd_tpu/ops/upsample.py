@@ -70,8 +70,12 @@ def _up2_add_impl(low: Array, lat: Array) -> Array:
         return lat + resize_nearest(low, (h2, w2))
     if jax.default_backend() == "cpu" and not _INTERPRET:
         return _xla_up2_add(low, lat)
+    # yb rows of `low` per grid step. Budget the lat/out block to ~2.5 MB
+    # so the six pipeline buffers (in+lat+out, double-buffered) stay well
+    # inside the ~16 MB VMEM even at the X-101 test scale (1600-wide P2).
     yb = 8
-    while h % yb:
+    lat_block_bytes = lambda y: 2 * y * w2 * c * lat.dtype.itemsize
+    while yb > 1 and (h % yb or lat_block_bytes(yb) > 2_500_000):
         yb //= 2
     grid = (b, h // yb)
     return pl.pallas_call(
