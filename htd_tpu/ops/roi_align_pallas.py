@@ -170,6 +170,97 @@ def _build_pyramid_xmajor(feats, win_h, win_w, x_block, y_block):
     return pyr, offsets[:-1], w_pad, rows_pad, img_rows
 
 
+def _pyr_write_level(pyr, lvl, row_off, img_rows, interpret=False):
+    """Copy one (B, H, W, C) level into its rows of the (rows_pad, w_pad, C)
+    pyramid buffer via an io-aliased Pallas kernel (in-place in HBM).
+
+    Image i's block lands at row i*img_rows + row_off; columns beyond W and
+    rows never visited keep the buffer's prior contents (the zeros init).
+    """
+    b, h, w, c = (int(s) for s in lvl.shape)
+    rows_pad, w_pad, _ = (int(s) for s in pyr.shape)
+    stripe = 8
+    while stripe > 1 and (h % stripe or row_off % stripe or img_rows % stripe):
+        stripe //= 2
+
+    def kernel(old_ref, src_ref, dst_ref):
+        del old_ref  # only present to alias the output buffer
+        x = src_ref[0]
+        dst_ref[...] = jnp.pad(x, ((0, 0), (0, w_pad - w), (0, 0)))
+
+    out_map = lambda bi, i: ((bi * img_rows + row_off) // stripe + i, 0, 0)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, h // stripe),
+        in_specs=[
+            pl.BlockSpec((stripe, w_pad, c), out_map),
+            pl.BlockSpec((1, stripe, w, c), lambda bi, i: (bi, i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((stripe, w_pad, c), out_map),
+        out_shape=jax.ShapeDtypeStruct(pyr.shape, pyr.dtype),
+        input_output_aliases={0: 0},
+        interpret=interpret,
+    )(pyr, lvl)
+
+
+def _build_pyramid_pallas(feats, win_h, win_w, x_block, y_block,
+                          interpret=False):
+    """`_build_pyramid` semantics (image-major/level-minor rows, zero pads)
+    built WITHOUT any XLA pad/concat touching the level tensors: a zeroed
+    pyramid buffer plus one io-aliased Pallas copy kernel per level.
+
+    Why: XLA layout assignment propagates the row-major concat's preferred
+    layout back into the producing FPN convolutions (P2 3x3 conv
+    0.38 -> 2.69 ms in the 2026-08-17 xplane trace), and neither
+    `optimization_barrier` nor per-level pre-transposes
+    (`_build_pyramid_xmajor`) stop the negotiation. A Pallas custom call
+    pins row-major layouts at ITS boundary only, so the convs keep their
+    native layouts and XLA inserts one cheap relayout copy per level.
+    Copy cost is DMA-bound: ~90 MB of traffic at 768x1344 ≈ 0.1 ms.
+    """
+    batched = feats[0].ndim == 4
+    c = int(feats[0].shape[-1])
+    dt = feats[0].dtype
+    w_pad = max(win_w + x_block, max(int(f.shape[-2]) for f in feats))
+    w_pad = (w_pad + x_block - 1) // x_block * x_block
+    offsets = [0]
+    for f in feats:
+        offsets.append(offsets[-1] + int(f.shape[-3]))
+    img_rows = offsets[-1]
+    b = int(feats[0].shape[0]) if batched else 1
+    rows = b * img_rows
+    rows_pad = (rows + win_h + y_block - 1) // y_block * y_block
+    pyr = jnp.zeros((rows_pad, w_pad, c), dt)
+    for f, row_off in zip(feats, offsets[:-1]):
+        if not batched:
+            f = f[None]
+        pyr = _pyr_write_level(pyr, f, row_off, img_rows,
+                               interpret=interpret)
+    return pyr, offsets[:-1], w_pad, rows_pad, img_rows
+
+
+def _v4_pyramid(feats, interpret=False):
+    """The pyramid used by BOTH roi_align_pallas_v4 and the fused-batched
+    fallback gather — one function so the two builds are identical jaxprs
+    and XLA CSEs them into a single buffer.
+
+    Returns `(pyr, offsets, w_pad, rows_pad, img_rows)` with `pyr`
+    row-major `(rows_pad, w_pad, C)`.
+    """
+    max_w = max(int(f.shape[-2]) for f in feats)
+    w_pad_target = ((max_w - 1) // V4_X_BLOCK + 2) * V4_X_BLOCK
+    win_w = w_pad_target - V4_X_BLOCK
+    use_pallas = (
+        not interpret
+        and jax.default_backend() != "cpu"
+        and os.environ.get("HTD_V4_XLA_PYRAMID", "0") != "1"
+    )
+    if use_pallas:
+        return _build_pyramid_pallas(
+            feats, V4_RES_H, win_w, V4_X_BLOCK, V4_Y_STRIPE)
+    return _build_pyramid(feats, V4_RES_H, win_w, V4_X_BLOCK, V4_Y_STRIPE)
+
+
 def roi_align_pallas(
     feats: Sequence[Array],
     rois: Array,
@@ -1060,9 +1151,8 @@ def roi_align_pallas_v4(
         )
         pyr = None
     else:
-        pyr, offsets, w_pad, rows_pad, img_rows = _build_pyramid(
-            feats, V4_RES_H, w_pad_target - V4_X_BLOCK, V4_X_BLOCK,
-            V4_Y_STRIPE,
+        pyr, offsets, w_pad, rows_pad, img_rows = _v4_pyramid(
+            feats, interpret=interpret
         )
         pyr_t = None
     n_ybins = rows_pad // V4_Y_STRIPE - (V4_N_Y - 1)
@@ -1354,16 +1444,13 @@ def roi_align_fused_batched(
     lv_sub = flat_lvls[idx]
     if kernel == "v4":
         # gather straight from the SAME width-padded pyramid the v4 kernel
-        # streams — the _build_pyramid call is identical to the one inside
+        # streams — the _v4_pyramid call is identical to the one inside
         # roi_align_pallas_v4, so XLA CSEs the two builds into one. The
         # previous per-image flat concat materialized a second full copy of
         # all levels (~44 MB/img at 768x1344) purely for <=FALLBACK_CAP
         # fallback rois.
-        max_w = max(int(f.shape[-2]) for f in feats)
-        w_pad_t = ((max_w - 1) // V4_X_BLOCK + 2) * V4_X_BLOCK
-        pyr_fb, offs_fb, w_pad_fb, _, img_rows_fb = _build_pyramid(
-            list(feats), V4_RES_H, w_pad_t - V4_X_BLOCK, V4_X_BLOCK,
-            V4_Y_STRIPE,
+        pyr_fb, offs_fb, w_pad_fb, _, img_rows_fb = _v4_pyramid(
+            list(feats), interpret=interpret
         )
         flat_buf = pyr_fb.reshape(-1, c)
         lvl_row_offs = np.concatenate(

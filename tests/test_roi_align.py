@@ -379,6 +379,36 @@ def test_fused_batched_padded_rois_do_not_starve_fallback(rng):
     )
 
 
+def test_build_pyramid_pallas_matches_xla(rng):
+    """io-aliased Pallas level writes == XLA pad+concat build, both
+    arities, incl. widths not divisible by 8 (in-kernel pad path) and a
+    height forcing the stripe to shrink below 8."""
+    from htd_tpu.ops.roi_align_pallas import (
+        _build_pyramid, _build_pyramid_pallas, V4_RES_H, V4_X_BLOCK,
+        V4_Y_STRIPE,
+    )
+
+    for batched, shapes in (
+        (False, [(32, 48), (16, 24), (8, 12)]),
+        (True, [(32, 48), (16, 24), (8, 12)]),
+        (False, [(12, 20), (6, 10)]),  # h=12 -> stripe 4, h=6 -> stripe 2
+    ):
+        mk = lambda h, w: ((2, h, w, 8) if batched else (h, w, 8))
+        feats = [
+            jnp.asarray(rng.normal(0, 1, mk(h, w)).astype(np.float32))
+            for h, w in shapes
+        ]
+        max_w = max(int(f.shape[-2]) for f in feats)
+        win_w = ((max_w - 1) // V4_X_BLOCK + 2) * V4_X_BLOCK - V4_X_BLOCK
+        a, offs_a, wp_a, rp_a, ir_a = _build_pyramid(
+            feats, V4_RES_H, win_w, V4_X_BLOCK, V4_Y_STRIPE)
+        b, offs_b, wp_b, rp_b, ir_b = _build_pyramid_pallas(
+            feats, V4_RES_H, win_w, V4_X_BLOCK, V4_Y_STRIPE,
+            interpret=True)
+        assert (offs_a, wp_a, rp_a, ir_a) == (offs_b, wp_b, rp_b, ir_b)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_build_pyramid_xmajor_matches_transposed(rng):
     """x-major builder == swapaxes(row-major builder) for both arities."""
     from htd_tpu.ops.roi_align_pallas import (
