@@ -52,6 +52,11 @@ WIN_H = Y_STRIPS * Y_BLOCK
 WIN_W = X_BLOCKS * X_BLOCK
 FALLBACK_CAP = 96     # oversized rois routed through the XLA-gather path
 
+# test hook: run the REAL v4 Pallas kernel bodies under pl.pallas_call
+# interpret mode on CPU instead of the jnp emulation branch (the emulation
+# validates binning math; this validates the kernel body itself)
+_FORCE_KERNEL_INTERPRET = False
+
 
 def _interp_matrix(start, bin_size, grid, size, origin, p_dim, out_size, s_max):
     """(out_size, p_dim) summed bilinear tent weights for one axis."""
@@ -1040,6 +1045,119 @@ V4_X_BLOCK = 96
 V4_N_X = 2
 V4_RES_H = V4_Y_STRIPE * V4_N_Y   # 80
 V4_RES_W = V4_X_BLOCK * V4_N_X    # 192
+
+
+def _v4_call_packed(pyr_t, ay, ax, ybin_b, xbin_b, roi_slot, slot_ovf,
+                    *, n_bins, slots, out_size, c, dt, w_pad, rows_pad,
+                    interpret):
+    """Packed-2D variant of the v4 bin-tile kernel (HTD_V4_PACKED=1).
+
+    The default kernel is VPU-relayout-bound (xplane 2026-08-17: kernel
+    ~4.95 ms/1000 rois vs ~1.2 ms of DMA): per step it concatenates ten
+    (96,16,C) blocks into a (192,80,C) window (~12 MB of copies), merges
+    sublane+lane dims with a reshape, and materializes a 13.7 MB f32
+    stage-A product. This variant streams the pyramid as a PACKED 2-D
+    array (w_pad, rows_pad*C) so each block arrives as (96, 16*C) with
+    the (h, c) lane merge already done by the block slicing:
+
+      * stage A runs per (kx, ky) sub-block — no window assembly at all;
+      * the one unavoidable mid-pipeline relayout (rows (k,x) -> (k,h))
+        happens per 16-row h-chunk;
+      * stage B accumulates the five h-chunk block-diag products in f32.
+
+    Math identical to the default kernel (same ay/ax matrices).
+    """
+    f32 = jnp.float32
+
+    # per-h-chunk block-diagonal y matrices: [n, ky, (k, y), (k', hh)]
+    a5 = ay.reshape(n_bins, slots, out_size, V4_N_Y, V4_Y_STRIPE).astype(dt)
+    eye = jnp.eye(slots, dtype=dt)
+    ay_p = jnp.einsum("nkyjh,kq->njkyqh", a5, eye).reshape(
+        n_bins, V4_N_Y, slots * out_size, slots * V4_Y_STRIPE
+    )
+    pyr_p = pyr_t.reshape(w_pad, rows_pad * c)
+
+    def kernel(ybin_ref, xbin_ref, ay_ref, ax_ref, *refs):
+        del ybin_ref, xbin_ref
+        blocks = refs[: V4_N_Y * V4_N_X]
+        out_ref = refs[V4_N_Y * V4_N_X]
+        ax_m = ax_ref[0]  # (K*7, 192)
+        acc = jnp.zeros((slots * out_size, out_size * c), f32)
+        for ky in range(V4_N_Y):
+            u = None
+            for kx in range(V4_N_X):
+                axk = ax_m[:, kx * V4_X_BLOCK:(kx + 1) * V4_X_BLOCK]
+                t = jnp.dot(
+                    axk, blocks[kx * V4_N_Y + ky][:],
+                    preferred_element_type=f32,
+                )  # (K*7x, 16*C)
+                u = t if u is None else u + t
+            # rows (k, x), lanes (h, c) -> rows (k, h), lanes (x, c)
+            v = u.astype(dt).reshape(slots, out_size, V4_Y_STRIPE, c)
+            v = jnp.swapaxes(v, 1, 2).reshape(
+                slots * V4_Y_STRIPE, out_size * c
+            )
+            acc = acc + jnp.dot(
+                ay_ref[0, ky], v, preferred_element_type=f32
+            )
+        out_ref[0] = acc.reshape(
+            slots, out_size, out_size, c
+        ).astype(out_ref.dtype)
+
+    block_specs = []
+    for kx in range(V4_N_X):
+        for ky in range(V4_N_Y):
+            block_specs.append(
+                pl.BlockSpec(
+                    (V4_X_BLOCK, V4_Y_STRIPE * c),
+                    functools.partial(
+                        lambda i, yb, xb, ky, kx: (xb[i] + kx, yb[i] + ky),
+                        ky=ky, kx=kx,
+                    ),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_bins,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, V4_N_Y, slots * out_size, slots * V4_Y_STRIPE),
+                lambda i, yb, xb: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, slots * out_size, V4_RES_W),
+                lambda i, yb, xb: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        + block_specs,
+        out_specs=pl.BlockSpec(
+            (1, slots, out_size, out_size, c),
+            lambda i, yb, xb: (i, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+
+    slot_out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_bins, slots, out_size, out_size, c), dt
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=80 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(ybin_b, xbin_b, ay_p, ax, *([pyr_p] * (V4_N_Y * V4_N_X)))
+
+    flat = slot_out.reshape(n_bins * slots, out_size, out_size, c)
+    flat = jnp.concatenate(
+        [flat, jnp.zeros((1, out_size, out_size, c), dt)], axis=0
+    )
+    return flat[roi_slot], slot_ovf
 # coverage (worst-case origin quantization): y extent <= 80-16-2, x <= 192-96-2
 V4_COVER_H = V4_RES_H - V4_Y_STRIPE - 2
 V4_COVER_W = V4_RES_W - V4_X_BLOCK - 2
@@ -1230,7 +1348,7 @@ def roi_align_pallas_v4(
     )
     ax = ax.reshape(n_bins, slots * out_size, V4_RES_W).astype(dt)
 
-    if interpret or jax.default_backend() == "cpu":
+    if (interpret or jax.default_backend() == "cpu") and not _FORCE_KERNEL_INTERPRET:
         # jnp emulation with identical binning/origin math (validates the
         # bin assignment and coverage logic exactly, in f32)
         def one(t):
@@ -1265,6 +1383,15 @@ def roi_align_pallas_v4(
     # instead (see _build_pyramid_xmajor); A/B-able, off by default.
     if pyr_t is None:
         pyr_t = jnp.swapaxes(pyr, 0, 1)
+
+    use_packed = os.environ.get("HTD_V4_PACKED", "0") == "1"
+    run_interp = interpret or _FORCE_KERNEL_INTERPRET
+    if use_packed:
+        return _v4_call_packed(
+            pyr_t, ay, ax, ybin_b, xbin_b, roi_slot, slot_ovf,
+            n_bins=n_bins, slots=slots, out_size=out_size, c=c, dt=dt,
+            w_pad=w_pad, rows_pad=rows_pad, interpret=run_interp,
+        )
 
     def kernel(ybin_ref, xbin_ref, ay_ref, ax_ref, *refs):
         del ybin_ref, xbin_ref
@@ -1342,7 +1469,7 @@ def roi_align_pallas_v4(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=80 * 1024 * 1024
         ),
-        interpret=interpret,
+        interpret=run_interp,
     )(ybin_b, xbin_b, ay_bd, ax, *([pyr_t] * (V4_N_Y * V4_N_X)))
 
     flat = slot_out.reshape(n_bins * slots, out_size, out_size, c)

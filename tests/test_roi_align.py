@@ -379,6 +379,47 @@ def test_fused_batched_padded_rois_do_not_starve_fallback(rng):
     )
 
 
+def test_v4_kernel_bodies_interpret_match_emulation(rng, monkeypatch):
+    """The REAL v4 Pallas kernel bodies (default and HTD_V4_PACKED=1),
+    run under pallas interpret mode, must match the jnp emulation branch
+    (which the rest of the suite oracle-tests). Guards the packed-2D
+    kernel rewrite: identical ay/ax math, different data movement."""
+    import htd_tpu.ops.roi_align_pallas as rap
+
+    strides = (4, 8, 16, 32)
+    feats = [
+        jnp.asarray(
+            rng.normal(0, 1, (64 // (2 ** i), 96 // (2 ** i), 8))
+            .astype(np.float32)
+        )
+        for i in range(4)
+    ]
+    n = 12
+    rois = np.zeros((n, 4), np.float32)
+    rois[:, 0] = rng.uniform(0, 300, n)
+    rois[:, 1] = rng.uniform(0, 180, n)
+    rois[:, 2] = rois[:, 0] + rng.uniform(5, 60, n)
+    rois[:, 3] = rois[:, 1] + rng.uniform(5, 60, n)
+    lvls = map_roi_levels(jnp.asarray(rois), 4)
+
+    ref, ovf_ref = rap.roi_align_pallas_v4(
+        feats, jnp.asarray(rois), strides, lvls, 7, 0, 4, interpret=True
+    )
+
+    monkeypatch.setattr(rap, "_FORCE_KERNEL_INTERPRET", True)
+    for packed in ("0", "1"):
+        monkeypatch.setenv("HTD_V4_PACKED", packed)
+        out, ovf = rap.roi_align_pallas_v4(
+            feats, jnp.asarray(rois), strides, lvls, 7, 0, 4,
+            interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(ovf), np.asarray(ovf_ref))
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-2, atol=2e-2,
+            err_msg=f"packed={packed}",
+        )
+
+
 def test_build_pyramid_pallas_matches_xla(rng):
     """io-aliased Pallas level writes == XLA pad+concat build, both
     arities, incl. widths not divisible by 8 (in-kernel pad path) and a
