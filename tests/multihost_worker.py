@@ -48,15 +48,18 @@ def main():
         make_jitted_train_step,
     )
 
-    cfg = C.htd_r50_1x()
+    # micro-width config (same HTD structure, ~2M params) + shared XLA
+    # compile cache: this box is a single slow vCPU and the 2-proc and
+    # 1-proc runs compile the SAME 4-device SPMD program, so the second
+    # run is a cache hit. Full-width depth-10 took ~30 min wall; this
+    # keeps the test inside the suite budget.
+    import __graft_entry__ as ge
+
+    ge._enable_compile_cache(jax)
+    cfg = ge._flagship_config(tiny=True, micro=True)
     cfg = cfg.replace(
         backbone=dataclasses.replace(cfg.backbone, depth=10),
         roi_extractor=dataclasses.replace(cfg.roi_extractor, impl="gather"),
-        train=dataclasses.replace(
-            cfg.train,
-            rpn_proposal=C.ProposalConfig(
-                nms_pre=512, nms_post=512, max_num=512),
-        ),
     )
 
     # deterministic GLOBAL batch, identical on every process
@@ -86,7 +89,8 @@ def main():
         gt_valid=jnp.asarray(gt_valid[:1]),
     )
     model, state, tx = create_train_state(
-        cfg, jax.random.PRNGKey(0), sample, steps_per_epoch=100)
+        cfg, jax.random.PRNGKey(0), sample, steps_per_epoch=100,
+        fast_init=True)
 
     mesh = make_mesh()
     step_fn = make_jitted_train_step(model, tx, mesh=mesh)
