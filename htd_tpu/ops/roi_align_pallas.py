@@ -97,6 +97,24 @@ def _window_sort_order(feats, rois, strides, target_lvls):
 
 
 def _build_pyramid(feats, win_h=None, win_w=None, x_block=None, y_block=None):
+    """Dispatcher: Pallas copy-kernel build on TPU (no XLA pad/concat
+    touching the level tensors — see _build_pyramid_pallas), XLA build on
+    CPU or with HTD_XLA_PYRAMID=1 / HTD_V4_XLA_PYRAMID=1."""
+    win_h = WIN_H if win_h is None else win_h
+    win_w = WIN_W if win_w is None else win_w
+    x_block = X_BLOCK if x_block is None else x_block
+    y_block = Y_BLOCK if y_block is None else y_block
+    use_pallas = (
+        jax.default_backend() != "cpu"
+        and os.environ.get("HTD_XLA_PYRAMID", "0") != "1"
+        and os.environ.get("HTD_V4_XLA_PYRAMID", "0") != "1"
+    )
+    if use_pallas:
+        return _build_pyramid_pallas(feats, win_h, win_w, x_block, y_block)
+    return _build_pyramid_xla(feats, win_h, win_w, x_block, y_block)
+
+
+def _build_pyramid_xla(feats, win_h=None, win_w=None, x_block=None, y_block=None):
     """Row-concatenate levels into (rows, W_pad, C); returns (pyr, offsets).
 
     Levels may be single-image (H, W, C) or batched (B, H, W, C); batched
@@ -255,14 +273,7 @@ def _v4_pyramid(feats, interpret=False):
     max_w = max(int(f.shape[-2]) for f in feats)
     w_pad_target = ((max_w - 1) // V4_X_BLOCK + 2) * V4_X_BLOCK
     win_w = w_pad_target - V4_X_BLOCK
-    use_pallas = (
-        not interpret
-        and jax.default_backend() != "cpu"
-        and os.environ.get("HTD_V4_XLA_PYRAMID", "0") != "1"
-    )
-    if use_pallas:
-        return _build_pyramid_pallas(
-            feats, V4_RES_H, win_w, V4_X_BLOCK, V4_Y_STRIPE)
+    del interpret  # dispatch (Pallas on TPU, XLA on CPU) is inside
     return _build_pyramid(feats, V4_RES_H, win_w, V4_X_BLOCK, V4_Y_STRIPE)
 
 
