@@ -142,20 +142,25 @@ class AdptRoIExtractor(nn.Module):
         # NOTE: the windowed Pallas kernel is a measured NO-WIN here (see
         # PERF.md): a large roi sampling a finer level intrinsically exceeds
         # any bounded window, so ~20% of (roi, level) pairs fall back to the
-        # gather anyway. The XLA pyramid-gather stays the fastest correct
-        # implementation for the off-target-level pattern.
+        # gather anyway. The gathers instead ride the SHARED v4 pyramid
+        # buffer (roi_align_levels_pyramid) — bit-identical to per-level
+        # flat gathers, CSEs with the fused extraction kernel's build, and
+        # keeps reshape/gather consumers off the FPN conv outputs (layout
+        # war, PERF.md round 3).
+        from htd_tpu.ops.roi_align_pallas import roi_align_levels_pyramid
+
         num_levels = len(self.cfg.featmap_strides)
+        aligned = roi_align_levels_pyramid(
+            feats,
+            rois,
+            self.cfg.featmap_strides,
+            out_size=self.cfg.out_size,
+            sampling_ratio=self.cfg.sampling_ratio,
+            max_samples=self.cfg.adpt_max_samples,
+        )
         per_level = []
-        for lvl, stride in enumerate(self.cfg.featmap_strides):
-            align = lambda f, r: roi_align(  # noqa: E731
-                f,
-                r,
-                spatial_scale=1.0 / stride,
-                out_size=self.cfg.out_size,
-                sampling_ratio=self.cfg.sampling_ratio,
-                max_samples=self.cfg.adpt_max_samples,
-            )
-            rf = jax.vmap(align)(feats[lvl], rois)  # (B, R, 7, 7, C)
+        for lvl in range(num_levels):
+            rf = aligned[lvl]  # (B, R, 7, 7, C)
             if target_feats is not None:
                 sel = (target_lvls == lvl)[..., None, None, None]
                 rf = jnp.where(sel, target_feats.astype(rf.dtype), rf)

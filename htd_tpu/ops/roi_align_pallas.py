@@ -240,10 +240,14 @@ def _build_pyramid_pallas(feats, win_h, win_w, x_block, y_block,
     pins row-major layouts at ITS boundary only, so the convs keep their
     native layouts and XLA inserts one cheap relayout copy per level.
     Copy cost is DMA-bound: ~90 MB of traffic at 768x1344 ≈ 0.1 ms.
+
+    Differentiable: the VJP is the exact inverse slicing (each level's
+    cotangent is its row/column window of the pyramid cotangent), so
+    consumers like the BA extractor's pyramid-backed gathers can autodiff
+    straight through the Pallas build.
     """
     batched = feats[0].ndim == 4
     c = int(feats[0].shape[-1])
-    dt = feats[0].dtype
     w_pad = max(win_w + x_block, max(int(f.shape[-2]) for f in feats))
     w_pad = (w_pad + x_block - 1) // x_block * x_block
     offsets = [0]
@@ -253,13 +257,50 @@ def _build_pyramid_pallas(feats, win_h, win_w, x_block, y_block,
     b = int(feats[0].shape[0]) if batched else 1
     rows = b * img_rows
     rows_pad = (rows + win_h + y_block - 1) // y_block * y_block
-    pyr = jnp.zeros((rows_pad, w_pad, c), dt)
-    for f, row_off in zip(feats, offsets[:-1]):
+    pyr = _pyr_build_vjp(
+        tuple(feats), tuple(offsets[:-1]), img_rows, rows_pad, w_pad,
+        batched, interpret,
+    )
+    return pyr, offsets[:-1], w_pad, rows_pad, img_rows
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6))
+def _pyr_build_vjp(feats, row_offs, img_rows, rows_pad, w_pad, batched,
+                   interpret):
+    c = int(feats[0].shape[-1])
+    pyr = jnp.zeros((rows_pad, w_pad, c), feats[0].dtype)
+    for f, row_off in zip(feats, row_offs):
         if not batched:
             f = f[None]
         pyr = _pyr_write_level(pyr, f, row_off, img_rows,
                                interpret=interpret)
-    return pyr, offsets[:-1], w_pad, rows_pad, img_rows
+    return pyr
+
+
+def _pyr_build_fwd(feats, row_offs, img_rows, rows_pad, w_pad, batched,
+                   interpret):
+    shapes = tuple(tuple(int(s) for s in f.shape) for f in feats)
+    return (
+        _pyr_build_vjp(feats, row_offs, img_rows, rows_pad, w_pad, batched,
+                       interpret),
+        shapes,
+    )
+
+
+def _pyr_build_bwd(row_offs, img_rows, rows_pad, w_pad, batched, interpret,
+                   shapes, g):
+    b = shapes[0][0] if batched else 1
+    c = g.shape[-1]
+    g3 = g[: b * img_rows].reshape(b, img_rows, w_pad, c)
+    grads = []
+    for shape, off in zip(shapes, row_offs):
+        h, w = (shape[-3], shape[-2])
+        gl = g3[:, off:off + h, :w, :]
+        grads.append(gl if batched else gl[0])
+    return (tuple(grads),)
+
+
+_pyr_build_vjp.defvjp(_pyr_build_fwd, _pyr_build_bwd)
 
 
 def _v4_pyramid(feats, interpret=False):
@@ -275,6 +316,57 @@ def _v4_pyramid(feats, interpret=False):
     win_w = w_pad_target - V4_X_BLOCK
     del interpret  # dispatch (Pallas on TPU, XLA on CPU) is inside
     return _build_pyramid(feats, V4_RES_H, win_w, V4_X_BLOCK, V4_Y_STRIPE)
+
+
+def roi_align_levels_pyramid(
+    feats: Sequence[Array],
+    rois: Array,
+    strides: Sequence[int],
+    out_size: int,
+    sampling_ratio: int,
+    max_samples: int,
+):
+    """Batched RoIAlign of EVERY roi at EVERY level (the BA/Adpt extractor
+    pattern, reference adaptative_roi_extractor.py:49-66), gathering from
+    the shared v4 pyramid buffer.
+
+    feats: per-level (B, H, W, C); rois (B, R, 4). Returns a list of L
+    arrays (B, R, out, out, C). Bit-identical to per-level flat gathers
+    (the padded pyramid columns/rows are never sampled: the core clamps to
+    the level's true (H, W)); exists so conv outputs have NO direct
+    reshape/gather consumers — the only consumers are Pallas custom calls
+    (pyramid builder, upsample) and other convs, which ends the layout
+    negotiation on every front. The build CSEs with the fused extraction
+    kernel's pyramid; gradients flow through the builder's custom VJP.
+    """
+    from htd_tpu.ops import roi_align as _ra
+
+    b, r = int(rois.shape[0]), int(rois.shape[1])
+    c = int(feats[0].shape[-1])
+    pyr, offsets, w_pad, rows_pad, img_rows = _v4_pyramid(list(feats))
+    flat_buf = pyr.reshape(-1, c)
+    flat_rois = rois.reshape(b * r, 4).astype(jnp.float32)
+    img_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), r)
+    row_stride = jnp.full((b * r,), w_pad, jnp.float32)
+    outs = []
+    for lvl, stride in enumerate(strides):
+        h = float(feats[lvl].shape[-3])
+        w = float(feats[lvl].shape[-2])
+        row_offset = (img_idx * img_rows + offsets[lvl]) * w_pad
+        sub = _ra._roi_align_core(
+            flat_buf,
+            flat_rois,
+            scale=jnp.full((b * r,), 1.0 / stride, jnp.float32),
+            fh=jnp.full((b * r,), h, jnp.float32),
+            fw=jnp.full((b * r,), w, jnp.float32),
+            row_offset=row_offset,
+            out_size=out_size,
+            sampling_ratio=sampling_ratio,
+            max_samples=max_samples,
+            row_stride=row_stride,
+        )
+        outs.append(sub.reshape(b, r, out_size, out_size, c))
+    return outs
 
 
 def roi_align_pallas(

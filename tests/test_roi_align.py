@@ -450,6 +450,88 @@ def test_build_pyramid_pallas_matches_xla(rng):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_build_pyramid_pallas_vjp_matches_xla(rng):
+    """custom VJP of the Pallas builder (per-level row/col slices) ==
+    autodiff of the XLA pad+concat build, both arities."""
+    from htd_tpu.ops.roi_align_pallas import (
+        _build_pyramid_pallas, _build_pyramid_xla, V4_RES_H, V4_X_BLOCK,
+        V4_Y_STRIPE,
+    )
+
+    for batched in (False, True):
+        mk = lambda h, w: ((2, h, w, 8) if batched else (h, w, 8))
+        feats = [
+            jnp.asarray(rng.normal(0, 1, mk(32 // (2 ** i), 48 // (2 ** i)))
+                        .astype(np.float32))
+            for i in range(3)
+        ]
+        args = (V4_RES_H, 96, V4_X_BLOCK, V4_Y_STRIPE)
+        fa = lambda *fs: jnp.sum(
+            jnp.sin(_build_pyramid_pallas(list(fs), *args, interpret=True)[0])
+        )
+        fb = lambda *fs: jnp.sum(jnp.sin(_build_pyramid_xla(list(fs), *args)[0]))
+        ga = jax.grad(fa, argnums=(0, 1, 2))(*feats)
+        gb = jax.grad(fb, argnums=(0, 1, 2))(*feats)
+        for a, b in zip(ga, gb):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6)
+
+
+def test_adpt_levels_pyramid_matches_per_level(rng):
+    """roi_align_levels_pyramid == per-level flat gathers (the BA
+    extractor's previous formulation), values and gradients."""
+    from htd_tpu.ops.roi_align import roi_align
+    from htd_tpu.ops.roi_align_pallas import roi_align_levels_pyramid
+
+    strides = (4, 8, 16, 32)
+    b, r = 2, 6
+    feats = [
+        jnp.asarray(
+            rng.normal(0, 1, (b, 64 // (2 ** i), 96 // (2 ** i), 8))
+            .astype(np.float32)
+        )
+        for i in range(4)
+    ]
+    rois = np.zeros((b, r, 4), np.float32)
+    rois[..., 0] = rng.uniform(-10, 300, (b, r))
+    rois[..., 1] = rng.uniform(-10, 200, (b, r))
+    rois[..., 2] = rois[..., 0] + rng.uniform(5, 200, (b, r))
+    rois[..., 3] = rois[..., 1] + rng.uniform(5, 200, (b, r))
+    jrois = jnp.asarray(rois)
+
+    got = roi_align_levels_pyramid(feats, jrois, strides, 7, 0, 2)
+    for lvl, stride in enumerate(strides):
+        want = jax.vmap(
+            lambda f, rr: roi_align(
+                f, rr, spatial_scale=1.0 / stride, out_size=7,
+                sampling_ratio=0, max_samples=2,
+            )
+        )(feats[lvl], jrois)
+        np.testing.assert_allclose(
+            np.asarray(got[lvl]), np.asarray(want), rtol=1e-5, atol=1e-5,
+            err_msg=f"level {lvl}",
+        )
+
+    fa = lambda *fs: sum(
+        jnp.sum(jnp.sin(o))
+        for o in roi_align_levels_pyramid(list(fs), jrois, strides, 7, 0, 2)
+    )
+    fb = lambda *fs: sum(
+        jnp.sum(jnp.sin(jax.vmap(
+            lambda f, rr: roi_align(
+                f, rr, spatial_scale=1.0 / s, out_size=7,
+                sampling_ratio=0, max_samples=2,
+            )
+        )(fs[l], jrois)))
+        for l, s in enumerate(strides)
+    )
+    ga = jax.grad(fa, argnums=tuple(range(4)))(*feats)
+    gb = jax.grad(fb, argnums=tuple(range(4)))(*feats)
+    for a, b_ in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_build_pyramid_xmajor_matches_transposed(rng):
     """x-major builder == swapaxes(row-major builder) for both arities."""
     from htd_tpu.ops.roi_align_pallas import (
