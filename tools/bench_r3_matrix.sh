@@ -41,4 +41,10 @@ run bench_packed  1200 HTD_V4_PACKED=1 -- python bench.py
 run stages_b2 2400 _X=1 -- python tools/bench_stages.py --batch-size 2 --stages backbone_fpn full
 run stages_b4 2400 _X=1 -- python tools/bench_stages.py --batch-size 4 --stages backbone_fpn full
 
+# 4. model family (flagship R-101-DCN at its test scale; DCN stage split)
+run stages_r101dcn 2400 _X=1 -- python tools/bench_stages.py \
+    --config htd_r101_dcn_2x --stages backbone_fpn rpn_proposals stage1 full
+run bench_r101dcn 1800 _X=1 -- python tools/benchmark.py --config htd_r101_dcn_2x
+run bench_x101dcn 1800 _X=1 -- python tools/benchmark.py --config htd_x101_dcn_2x
+
 echo "=== matrix done $(date +%H:%M:%S)" | tee -a "$OUT/summary.log"
