@@ -14,6 +14,7 @@ TPU adaptations (result-preserving):
 
 from __future__ import annotations
 
+import os
 from typing import Any, Sequence, Tuple
 
 import jax
@@ -83,7 +84,12 @@ def gen_proposals_single(
         prob = jnp.where(valid, prob, NEG_INF)
 
         k = min(cfg.nms_pre, int(prob.shape[0]))
-        top_s, top_i = jax.lax.top_k(prob, k)
+        if os.environ.get("HTD_TILED_TOPK", "0") == "1":
+            from htd_tpu.ops.topk import top_k_tiled
+
+            top_s, top_i = top_k_tiled(prob, k)
+        else:
+            top_s, top_i = jax.lax.top_k(prob, k)
         boxes = delta2bbox(anchors[top_i], flat_d[top_i], max_shape=img_shape)
         cand_scores.append(top_s)
         cand_boxes.append(boxes)
