@@ -26,6 +26,12 @@ def main():
 
     from htd_tpu import config as C
     from htd_tpu.models.detector import HTDDetector
+    from htd_tpu.utils.kernel_probe import probe_and_gate
+
+    # compile-probe the TPU-only Pallas kernels on tiny shapes first and
+    # fall back (env kill-switches) for any this platform's Mosaic rejects
+    # — the bench must degrade to XLA paths, not crash
+    probe_and_gate()
 
     cfg = C.htd_r50_1x(compute_dtype="bfloat16")
     model = HTDDetector(cfg)

@@ -62,13 +62,18 @@ def upsample2x_add(low: Array, lat: Array) -> Array:
 
 
 def _up2_add_impl(low: Array, lat: Array) -> Array:
+    import os
+
     b, h, w, c = low.shape
     b2, h2, w2, c2 = lat.shape
     if h2 != 2 * h or w2 != 2 * w or b2 != b or c2 != c:
         from htd_tpu.models.layers import resize_nearest
 
         return lat + resize_nearest(low, (h2, w2))
-    if jax.default_backend() == "cpu" and not _INTERPRET:
+    if (
+        jax.default_backend() == "cpu"
+        or os.environ.get("HTD_XLA_UPSAMPLE", "0") == "1"
+    ) and not _INTERPRET:
         return _xla_up2_add(low, lat)
     # yb rows of `low` per grid step. Budget the lat/out block to ~2.5 MB
     # so the six pipeline buffers (in+lat+out, double-buffered) stay well

@@ -1,0 +1,105 @@
+"""Self-healing probe for the TPU-only Pallas kernels.
+
+The new round-3 kernels (fused FPN upsample, Pallas pyramid builder,
+packed v4 variant) are gated by env kill-switches (HTD_XLA_UPSAMPLE,
+HTD_XLA_PYRAMID, HTD_V4_PACKED). `probe_and_gate()` compiles+runs each on
+tiny shapes and FLIPS THE KILL-SWITCH for any that fail, so benchmark and
+entry-point tools degrade to the equivalent XLA paths instead of crashing
+if this platform's Mosaic rejects a construct we could not validate
+in-round (the tunnel TPU can be unavailable for long stretches).
+
+Call once at tool startup on the TPU platform; no-op on CPU.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import sys
+
+import numpy as np
+
+print = functools.partial(print, file=sys.stderr)  # noqa: A001 — tools
+# parse stdout (bench.py emits one JSON line); probe chatter goes to stderr
+
+
+def _force(x):
+    import jax.numpy as jnp
+
+    return float(jnp.sum(x.astype(jnp.float32)))
+
+
+def probe_and_gate(verbose: bool = True) -> dict:
+    import jax
+
+    results = {}
+    if jax.default_backend() == "cpu":
+        return results
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+
+    def probe(name, kill_env, fn):
+        try:
+            _force(fn())
+            results[name] = "ok"
+        except Exception as e:  # noqa: BLE001 — any compile/run failure
+            if kill_env:
+                os.environ[kill_env] = "1"
+            results[name] = f"FAILED -> {kill_env}=1 ({type(e).__name__})"
+            if verbose:
+                print(f"[kernel_probe] {name}: {results[name]}: "
+                      f"{str(e)[:200]}")
+        if verbose and results[name] == "ok":
+            print(f"[kernel_probe] {name}: ok")
+
+    def up():
+        from htd_tpu.ops.upsample import upsample2x_add
+
+        low = jnp.asarray(rng.normal(0, 1, (1, 8, 16, 256)).astype(np.float32))
+        lat = jnp.asarray(rng.normal(0, 1, (1, 16, 32, 256)).astype(np.float32))
+        return jax.jit(upsample2x_add)(low, lat)
+
+    probe("upsample2x_add", "HTD_XLA_UPSAMPLE", up)
+
+    def pyr():
+        import htd_tpu.ops.roi_align_pallas as rap
+
+        feats = [
+            jnp.asarray(rng.normal(0, 1, (32 // 2 ** i, 84 // 2 ** i, 256))
+                        .astype(np.float32))
+            for i in range(3)
+        ]
+        return jax.jit(
+            lambda *fs: rap._build_pyramid_pallas(
+                list(fs), rap.V4_RES_H, 96, rap.V4_X_BLOCK, rap.V4_Y_STRIPE
+            )[0]
+        )(*feats)
+
+    probe("pyramid_builder", "HTD_XLA_PYRAMID", pyr)
+
+    if os.environ.get("HTD_V4_PACKED", "0") == "1":
+
+        def packed():
+            import htd_tpu.ops.roi_align_pallas as rap
+            from htd_tpu.ops.boxes import map_roi_levels
+
+            feats = [
+                jnp.asarray(
+                    rng.normal(0, 1, (48 // 2 ** i, 96 // 2 ** i, 256))
+                    .astype(np.float32))
+                for i in range(4)
+            ]
+            rois = np.array([[4.0, 4.0, 60.0, 40.0],
+                             [40.0, 8.0, 120.0, 90.0]], np.float32)
+            lvls = map_roi_levels(jnp.asarray(rois), 4)
+            return jax.jit(
+                lambda fs, r, l: rap.roi_align_pallas_v4(
+                    fs, r, (4, 8, 16, 32), l, 7, 0, 4)[0]
+            )(feats, jnp.asarray(rois), lvls)
+
+        probe("v4_packed", "HTD_V4_PACKED_OFF", packed)
+        if "v4_packed" in results and results["v4_packed"] != "ok":
+            os.environ["HTD_V4_PACKED"] = "0"
+
+    return results

@@ -45,6 +45,10 @@ def main():
     args = p.parse_args()
 
     import jax
+
+    from htd_tpu.utils.kernel_probe import probe_and_gate
+
+    probe_and_gate()
     import jax.numpy as jnp
 
     from htd_tpu import config as C
