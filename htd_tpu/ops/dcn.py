@@ -63,6 +63,15 @@ def deform_conv2d(
     k = kh * kw
     f32 = jnp.float32
 
+    import os
+
+    if os.environ.get("HTD_DCN_FENCE", "0") == "1":
+        # A/B: pin the input's layout before the flatten+gathers so layout
+        # assignment can't flip the producing conv (see ops/fence.py)
+        from htd_tpu.ops.fence import layout_fence
+
+        x = layout_fence(x)
+
     off = offsets.astype(f32).reshape(n, ho, wo, deform_groups, k, 2)
     # base sampling grid
     oy = jnp.arange(ho, dtype=f32) * stride - pad

@@ -48,6 +48,7 @@ run stages_b4 2400 _X=1 -- python tools/bench_stages.py --batch-size 4 --stages 
 run stages_r101dcn 2400 _X=1 -- python tools/bench_stages.py \
     --config htd_r101_dcn_2x --stages backbone_fpn rpn_proposals stage1 full
 run bench_r101dcn 1800 _X=1 -- python tools/benchmark.py --config htd_r101_dcn_2x
+run bench_r101dcn_fence 1800 HTD_DCN_FENCE=1 -- python tools/benchmark.py --config htd_r101_dcn_2x
 run bench_x101dcn 1800 _X=1 -- python tools/benchmark.py --config htd_x101_dcn_2x
 
 echo "=== matrix done $(date +%H:%M:%S)" | tee -a "$OUT/summary.log"
