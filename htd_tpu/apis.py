@@ -48,10 +48,16 @@ def init_detector(cfg: HTDConfig, checkpoint: Optional[str] = None):
     return model, variables
 
 
-def make_inference_fn(model, variables):
+def make_inference_fn(model, variables, mesh=None):
     """Returns a jitted fn(images, img_shapes, scale_factors) -> Detections.
 
     One compilation per input bucket shape (XLA caches by shape).
+
+    mesh: optional `jax.sharding.Mesh` with a 'data' axis — batch-parallel
+    multi-chip inference on one host (the reference `multi_gpu_test` analog
+    for N local devices): params replicated, batch sharded on 'data', XLA
+    partitions the whole forward. Batch size must be a multiple of the
+    mesh size (grouped_batches pads short batches to full size).
     """
     import functools
 
@@ -61,7 +67,20 @@ def make_inference_fn(model, variables):
     def fwd_v(v, images, img_shapes, scale_factors):
         return model.apply(v, images, img_shapes, scale_factors)
 
-    return functools.partial(fwd_v, variables)
+    if mesh is None:
+        return functools.partial(fwd_v, variables)
+
+    from htd_tpu.parallel.mesh import replicated, shard_pytree_batch
+
+    variables = jax.device_put(variables, replicated(mesh))
+
+    def fwd(images, img_shapes, scale_factors):
+        images, img_shapes, scale_factors = shard_pytree_batch(
+            mesh, (images, img_shapes, scale_factors)
+        )
+        return fwd_v(variables, images, img_shapes, scale_factors)
+
+    return fwd
 
 
 def inference_detector(
@@ -250,10 +269,13 @@ def evaluate_dataset(
     max_images: Optional[int] = None,
     log_every: int = 50,
     return_detections: bool = False,
+    mesh=None,
 ):
     """COCO val loop: batched static-bucket inference + native COCO mAP.
 
-    `scale` defaults to the model config's test_scale."""
+    `scale` defaults to the model config's test_scale. `mesh` enables
+    single-host multi-chip batch-parallel inference (see
+    make_inference_fn)."""
     import jax.numpy as jnp
 
     from htd_tpu.data.coco import grouped_batches, make_test_batch
@@ -262,7 +284,7 @@ def evaluate_dataset(
     import jax
 
     scale = scale or model.cfg.test_scale
-    fwd = make_inference_fn(model, variables)
+    fwd = make_inference_fn(model, variables, mesh=mesh)
     detections: Dict[int, Tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
     seen = 0
     t0 = time.time()

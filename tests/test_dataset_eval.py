@@ -102,6 +102,38 @@ def test_evaluate_dataset_end_to_end(mini_coco):
 
 
 @pytest.mark.slow
+@pytest.mark.multichip
+def test_evaluate_dataset_mesh_matches_single_device(mini_coco):
+    """Multi-chip batch-parallel eval (mesh over the 8 virtual devices) ==
+    single-device eval, detection for detection (multi_gpu_test analog)."""
+    ann, img_root = mini_coco
+    ds = CocoDataset(ann, img_root, test_mode=True)
+    cfg = tiny_config()
+    model = HTDDetector(cfg)
+    init = jax.jit(lambda r, im, sh, sf: model.init({"params": r}, im, sh, sf))
+    variables = init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 96, 3)),
+        jnp.asarray([[64.0, 96.0]]), jnp.ones((1, 4)),
+    )
+    from htd_tpu.parallel.mesh import make_mesh
+
+    m1, d1 = evaluate_dataset(
+        model, variables, ds, batch_size=4, scale=(96, 64), log_every=0,
+        return_detections=True,
+    )
+    m8, d8 = evaluate_dataset(
+        model, variables, ds, batch_size=4, scale=(96, 64), log_every=0,
+        return_detections=True, mesh=make_mesh(4),
+    )
+    assert set(d1) == set(d8)
+    for k in d1:
+        for a, b in zip(d1[k], d8[k]):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5
+            )
+
+
+@pytest.mark.slow
 def test_evaluate_proposals_end_to_end(mini_coco):
     """Standalone RPN proposal-recall eval (reference 'proposal_fast')."""
     from htd_tpu.apis import evaluate_proposals

@@ -42,6 +42,12 @@ def main():
                         "(default: the config's test_scale, e.g. 1600x800 "
                         "for htd_x101_dcn_2x)")
     p.add_argument(
+        "--chips", type=int, default=1,
+        help="single-host multi-chip batch-parallel eval over a 'data' "
+             "mesh of N local devices (multi_gpu_test analog); batch-size "
+             "must be a multiple of N",
+    )
+    p.add_argument(
         "--eval", default="bbox", choices=["bbox", "proposal"],
         help="'bbox' = COCO mAP; 'proposal' = RPN-only AR@{100,300,1000} "
              "(reference 'proposal_fast' metric / RPN detector eval)",
@@ -97,10 +103,16 @@ def main():
         print(json.dumps({k: round(v, 4) for k, v in metrics.items()}))
         return
 
+    mesh = None
+    if args.chips > 1:
+        from htd_tpu.parallel.mesh import make_mesh
+
+        assert args.batch_size % args.chips == 0, "--batch-size % --chips"
+        mesh = make_mesh(args.chips)
     out = evaluate_dataset(
         model, variables, dataset,
         batch_size=args.batch_size, scale=scale, max_images=args.max_images,
-        return_detections=bool(args.dump),
+        return_detections=bool(args.dump), mesh=mesh,
     )
     if args.dump:
         metrics, dets = out
