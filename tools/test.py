@@ -25,6 +25,12 @@ def main():
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--dump", default=None, help="write detections json here")
     p.add_argument(
+        "--coco-dump", default=None,
+        help="write standard COCO results json (list of {image_id, "
+             "category_id, bbox xywh, score}) for test-dev submission — "
+             "the reference --format-only analog",
+    )
+    p.add_argument(
         "--aug", action="store_true",
         help="multi-scale+flip TTA per image (the mstrain configs' test "
              "pipeline); slower, evaluates via aug_inference_detector",
@@ -112,7 +118,7 @@ def main():
     out = evaluate_dataset(
         model, variables, dataset,
         batch_size=args.batch_size, scale=scale, max_images=args.max_images,
-        return_detections=bool(args.dump), mesh=mesh,
+        return_detections=bool(args.dump or args.coco_dump), mesh=mesh,
     )
     if args.dump:
         metrics, dets = out
@@ -129,7 +135,34 @@ def main():
                 f,
             )
     else:
-        metrics = out
+        metrics = out if not args.coco_dump else out[0]
+    if args.coco_dump:
+        _, dets = out
+        n_cats = len(dataset.cat_ids)
+        skipped = 0
+        results = []
+        for img_id, (boxes, scores, labels) in dets.items():
+            for b, s, l in zip(boxes, scores, labels):
+                if int(l) >= n_cats:
+                    # model label space wider than the dataset's categories
+                    # (debug datasets); unmappable labels cannot be
+                    # submitted — skip, don't crash
+                    skipped += 1
+                    continue
+                results.append(dict(
+                    image_id=int(img_id),
+                    category_id=int(dataset.cat_ids[int(l)]),
+                    bbox=[float(b[0]), float(b[1]),
+                          float(b[2] - b[0]), float(b[3] - b[1])],
+                    score=float(s),
+                ))
+        if skipped:
+            import sys
+
+            print(f"[coco-dump] skipped {skipped} detections with labels "
+                  f">= {n_cats} dataset categories", file=sys.stderr)
+        with open(args.coco_dump, "w") as f:
+            json.dump(results, f)
     print(json.dumps({k: round(v, 4) for k, v in metrics.items()}))
 
 
