@@ -362,6 +362,24 @@ class HTDDetector(nn.Module):
         if upto == "stage0":
             return jnp.sum(s0_cls) * 1e-6 + jnp.sum(s0_reg) * 1e-6
         rois1 = self._refine(props, s0_cls, s0_reg, img_shapes)
+        if upto == "stage1_extract":
+            # stage-1 single extraction only (x_cls; BA/head excluded)
+            rf = self._roi_feats(feats4, rois1)
+            return jnp.sum(rf.astype(jnp.float32)) * 1e-6
+        if upto == "stage1_ba":
+            # stage-1 extraction + BA all-level enhanced features
+            from htd_tpu.ops.boxes import map_roi_levels as _mrl2
+
+            x_cls = self._roi_feats(feats4, rois1)
+            tgt_lvls = _mrl2(
+                rois1, len(c.roi_extractor.featmap_strides),
+                c.roi_extractor.finest_scale,
+            )
+            enhanced = self.adpt_extractor(feats4, rois1, x_cls, tgt_lvls)
+            return (
+                jnp.sum(x_cls.astype(jnp.float32)) * 1e-6
+                + jnp.sum(enhanced.astype(jnp.float32)) * 1e-6
+            )
         s1_cls, s1_reg, _ = self._stage1(
             feats4, rois1, prop_valid, rois1, None, global_feat
         )

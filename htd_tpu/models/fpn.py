@@ -41,7 +41,8 @@ class FPN(nn.Module):
                 and target[0] == 2 * lo.shape[-3]
                 and target[1] == 2 * lo.shape[-2]
             ):
-                # fused Pallas upsample+add: pins row-major layouts at the
+                # upsample2x_add: XLA broadcast+add by default; the Pallas
+                # form (HTD_PALLAS_UPSAMPLE=1) pins row-major layouts at the
                 # custom-call boundary so XLA cannot flip the surrounding
                 # convs into the slow T(2,128) layout (see ops/upsample.py)
                 laterals[i - 1] = upsample2x_add(lo, hi)

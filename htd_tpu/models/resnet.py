@@ -14,6 +14,7 @@ Freezing (`frozen_stages`) is applied by the optimizer mask, not here.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Tuple
 
 import jax
@@ -198,14 +199,17 @@ class Bottleneck(nn.Module):
 
 
 class StemConv(nn.Module):
-    """7x7/stride-2 stem conv, executed space-to-depth when H, W are even.
+    """7x7/stride-2 stem conv; optional space-to-depth form (HTD_S2D_STEM=1).
 
-    A 7x7 s2 conv with C_in=3 maps terribly onto the MXU (the contraction
-    dim is 3; measured ~1.9 ms of the R-50's 4.8 ms at 768x1344). The
+    The s2d idea: a 7x7 s2 conv with C_in=3 has contraction dim 3; the
     EXACT same linear map is a 4x4 s1 conv on the 2x2 space-to-depth input
     (12 channels): with ky-3 = 2*my+dy, x[2o+ky-3] = s2d(x)[o+my, dy],
     so w2[my+2, mx+2, (dy,dx,c)] = w[2(my+2)+dy-1, 2(mx+2)+dx-1, c] (taps
     with ky<0 are zero) and the output needs asymmetric padding (2, 1).
+    On-chip A/B (round 3, v5e, 800x1344 R-50) measured the s2d form
+    ~4 ms SLOWER end-to-end than XLA's native 7x7/s2 lowering (layout
+    negotiation around the strided-slice concat), so the plain conv is
+    the default and s2d is kept as an opt-in experiment gate.
     The stored param keeps the torch shape/name (conv1/kernel, (7,7,3,64))
     so checkpoint conversion is unchanged; w2 is built in-graph (tiny).
     """
@@ -223,7 +227,7 @@ class StemConv(nn.Module):
             jnp.float32,
         )
         b, h, w = x.shape[0], x.shape[1], x.shape[2]
-        if h % 2 or w % 2:
+        if h % 2 or w % 2 or os.environ.get("HTD_S2D_STEM", "0") != "1":
             return jax.lax.conv_general_dilated(
                 x, kernel.astype(x.dtype), (2, 2), ((3, 3), (3, 3)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),

@@ -84,12 +84,14 @@ def gen_proposals_single(
         prob = jnp.where(valid, prob, NEG_INF)
 
         k = min(cfg.nms_pre, int(prob.shape[0]))
-        if os.environ.get("HTD_TILED_TOPK", "0") == "1":
+        if os.environ.get("HTD_FLAT_TOPK", "0") == "1":
+            # escape hatch: plain lax.top_k (A/B: tiled saved ~1.7 ms/img
+            # on the P2 level's ~250k scores, round-3 on-chip matrix)
+            top_s, top_i = jax.lax.top_k(prob, k)
+        else:
             from htd_tpu.ops.topk import top_k_tiled
 
             top_s, top_i = top_k_tiled(prob, k)
-        else:
-            top_s, top_i = jax.lax.top_k(prob, k)
         boxes = delta2bbox(anchors[top_i], flat_d[top_i], max_shape=img_shape)
         cand_scores.append(top_s)
         cand_boxes.append(boxes)

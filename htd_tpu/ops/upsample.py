@@ -1,15 +1,15 @@
 """Fused nearest-2x upsample + add (the FPN top-down step) as a Pallas op.
 
-Why a kernel for something XLA can fuse: it CAN'T fuse it well here. The
-broadcast+reshape lowering of an exact-2x nearest upsample is only free in
-a T(2,128) bitcast-friendly layout, and XLA's layout assignment propagates
-that layout back through the producing FPN/RPN convolutions, which then run
-~7x slower (P2 3x3 conv 0.38 -> 2.7 ms in-program; PERF.md round 3). A
-jax.image.resize op and a flat row-gather formulation poison layouts the
-same way. A Pallas custom call pins {2,1,0} row-major operands at ITS
-boundary only: the convolutions keep their native layouts and XLA inserts
-one cheap relayout copy (~0.1 ms for the 33 MB P2 level) instead of
-flipping conv layouts.
+Status: OPT-IN experiment (HTD_PALLAS_UPSAMPLE=1); the XLA broadcast form
+is the production default. Rationale history: xplane profiling with the
+round-2 XLA pad+concat pyramid showed the broadcast lowering's T(2,128)
+layout propagating back into the FPN convs (P2 3x3 conv 0.38 -> 2.7 ms),
+which motivated this kernel — pinning {2,1,0} row-major at a custom-call
+boundary. But once the Pallas pyramid builder took over the downstream
+side (round 3), the on-chip A/B showed this kernel costing ~5 ms MORE
+end-to-end than the XLA form (backbone_fpn 9.85 -> 4.54 ms with it off,
+both-gates bisection, v5e 800x1344 R-50): the layout war it was built to
+win no longer exists, and its own relayout copies now dominate.
 
 Semantics match `resize_nearest(low, 2x) + lat` exactly (pure duplication,
 no resampling), reference FPN top-down step mmdet/models/necks/fpn.py:152
@@ -70,8 +70,13 @@ def _up2_add_impl(low: Array, lat: Array) -> Array:
         from htd_tpu.models.layers import resize_nearest
 
         return lat + resize_nearest(low, (h2, w2))
+    # On-chip A/B (round 3, v5e, 800x1344 R-50): the Pallas form measured
+    # ~5 ms SLOWER end-to-end than the XLA broadcast form (it pinned
+    # layouts at the custom-call boundary but lost more than it saved),
+    # so XLA is the default; HTD_PALLAS_UPSAMPLE=1 opts in for A/B.
     if (
         jax.default_backend() == "cpu"
+        or os.environ.get("HTD_PALLAS_UPSAMPLE", "0") != "1"
         or os.environ.get("HTD_XLA_UPSAMPLE", "0") == "1"
     ) and not _INTERPRET:
         return _xla_up2_add(low, lat)

@@ -53,14 +53,19 @@ def probe_and_gate(verbose: bool = True) -> dict:
         if verbose and results[name] == "ok":
             print(f"[kernel_probe] {name}: ok")
 
-    def up():
-        from htd_tpu.ops.upsample import upsample2x_add
+    if os.environ.get("HTD_PALLAS_UPSAMPLE", "0") == "1":
+        # Pallas upsample is opt-in (XLA form is the production default
+        # after the round-3 on-chip A/B); only probe when opted in.
+        def up():
+            from htd_tpu.ops.upsample import upsample2x_add
 
-        low = jnp.asarray(rng.normal(0, 1, (1, 8, 16, 256)).astype(np.float32))
-        lat = jnp.asarray(rng.normal(0, 1, (1, 16, 32, 256)).astype(np.float32))
-        return jax.jit(upsample2x_add)(low, lat)
+            low = jnp.asarray(
+                rng.normal(0, 1, (1, 8, 16, 256)).astype(np.float32))
+            lat = jnp.asarray(
+                rng.normal(0, 1, (1, 16, 32, 256)).astype(np.float32))
+            return jax.jit(upsample2x_add)(low, lat)
 
-    probe("upsample2x_add", "HTD_XLA_UPSAMPLE", up)
+        probe("upsample2x_add", "HTD_XLA_UPSAMPLE", up)
 
     def pyr():
         import htd_tpu.ops.roi_align_pallas as rap

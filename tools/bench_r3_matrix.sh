@@ -33,7 +33,7 @@ run stages_xlapyr  2400 HTD_XLA_PYRAMID=1 -- $ST   # revert-check: builder off
 run stages_v3      2400 _X=1 -- python tools/bench_stages.py \
     --set roi_extractor.impl=pallas_v3 --stages backbone_fpn rpn_proposals stage1 full
 
-run stages_topk 2400 HTD_TILED_TOPK=1 -- python tools/bench_stages.py \
+run stages_topk 2400 HTD_FLAT_TOPK=1 -- python tools/bench_stages.py \
     --stages backbone_fpn rpn_proposals full
 
 # 2. end-to-end bench, default vs packed

@@ -86,6 +86,8 @@ def main():
         "stage0_extract",
         "stage0_extract_synth",
         "stage0",
+        "stage1_extract",
+        "stage1_ba",
         "stage1",
         "full",
     ]

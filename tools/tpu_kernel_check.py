@@ -68,9 +68,11 @@ def main():
         print(f"{name} max|diff| = {d.max()} (kernel rois {keep.sum()}/{n})")
         ok &= d.max() < 0.1  # bf16 kernel vs bf16 gather rounding
 
-    # 4. fused upsample+add
+    # 4. fused upsample+add (opt-in kernel; force the Pallas path here —
+    # this gate exists to validate the kernel itself, not the default)
     from htd_tpu.ops import upsample as U
 
+    os.environ["HTD_PALLAS_UPSAMPLE"] = "1"
     low = jnp.asarray(rng.normal(0, 1, (1, 96, 168, 256)).astype(np.float32)
                       ).astype(jnp.bfloat16)
     lat = jnp.asarray(rng.normal(0, 1, (1, 192, 336, 256)).astype(np.float32)
