@@ -50,8 +50,20 @@ class RPNHead(nn.Module):
             self.num_anchors * 4, (1, 1),
             kernel_init=nn.initializers.normal(0.01), dtype=self.dtype, name="rpn_reg",
         )
+        fence = (
+            jax.default_backend() != "cpu"
+            and os.environ.get("HTD_RPN_FENCE", "0") == "1"
+        )
         scores, deltas = [], []
         for f in feats:
+            if fence:
+                # pin the shared FPN output row-major at the RPN boundary so
+                # the tiny-channel cls/reg convs (A=3 / 12 outputs) cannot
+                # flip the 256-ch rpn_conv into T(2,128) (xplane round-3b:
+                # rpn_conv on P2 measured 2.2 ms fused in T(2,128))
+                from htd_tpu.ops.fence import layout_fence
+
+                f = layout_fence(f)
             t = nn.relu(conv(f))
             scores.append(cls(t))
             deltas.append(reg(t))

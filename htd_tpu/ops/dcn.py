@@ -14,10 +14,57 @@ matmul over (taps x in-channels).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 Array = jnp.ndarray
+
+
+def _bilinear_gather_quad(feat: Array, ys: Array, xs: Array) -> Array:
+    """Quad-concat bilinear sampling: ONE wide row-gather per tap.
+
+    The 4-corner formulation issues 4 gathers of C-wide rows; on this
+    platform XLA row-gathers cap at ~136 GB/s for 512 B rows and improve
+    substantially with row width (PERF.md "Op-level measurements"). Here we
+    precompute a zero-padded map whose channel dim concatenates the 2x2
+    corner neighborhood — quad[y, x] = [f[y,x], f[y,x+1], f[y+1,x],
+    f[y+1,x+1]] — so each tap needs a single gather of a 4C-wide row
+    (same total bytes, 1/4 the rows at 4x the width), and out-of-image
+    corners read the zero padding instead of needing per-corner masks.
+
+    feat: (H, W, C); ys/xs: float arrays of identical shape S.
+    Returns S + (C,). Matches `_bilinear_gather` exactly in f32.
+    """
+    h, w, c = feat.shape
+    inside = (ys > -1.0) & (ys < h) & (xs > -1.0) & (xs < w)
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    ly = (ys - y0).astype(feat.dtype)
+    lx = (xs - x0).astype(feat.dtype)
+    # +1 shift onto the padded map; inside samples have y0 in [-1, h-1]
+    y0i = jnp.clip(y0.astype(jnp.int32) + 1, 0, h)
+    x0i = jnp.clip(x0.astype(jnp.int32) + 1, 0, w)
+
+    xp = jnp.pad(feat, ((1, 1), (1, 1), (0, 0)))
+    quad = jnp.concatenate(
+        [xp[:-1, :-1], xp[:-1, 1:], xp[1:, :-1], xp[1:, 1:]], axis=-1
+    ).reshape((h + 1) * (w + 1), 4 * c)
+
+    idx = y0i * (w + 1) + x0i
+    g = jnp.take(quad, idx.reshape(-1), axis=0).reshape(idx.shape + (4 * c,))
+    ins = inside.astype(feat.dtype)
+    w00 = ((1 - ly) * (1 - lx) * ins)[..., None]
+    w01 = ((1 - ly) * lx * ins)[..., None]
+    w10 = (ly * (1 - lx) * ins)[..., None]
+    w11 = (ly * lx * ins)[..., None]
+    return (
+        g[..., 0 * c : 1 * c] * w00
+        + g[..., 1 * c : 2 * c] * w01
+        + g[..., 2 * c : 3 * c] * w10
+        + g[..., 3 * c : 4 * c] * w11
+    )
 
 
 def _bilinear_gather(feat_flat: Array, h: int, w: int, ys: Array, xs: Array) -> Array:
@@ -63,8 +110,6 @@ def deform_conv2d(
     k = kh * kw
     f32 = jnp.float32
 
-    import os
-
     if os.environ.get("HTD_DCN_FENCE", "0") == "1":
         # A/B: pin the input's layout before the flatten+gathers so layout
         # assignment can't flip the producing conv (see ops/fence.py)
@@ -86,15 +131,21 @@ def deform_conv2d(
     ys = base_y[None, :, :, None, :] + off[..., 0]  # (N, Ho, Wo, dg, K)
     xs = base_x[None, :, :, None, :] + off[..., 1]
 
+    quad = os.environ.get("HTD_DCN_QUAD", "0") == "1"
+
     cg = cin // deform_groups
     outs = []
     for g in range(deform_groups):
         feat = x[..., g * cg : (g + 1) * cg]
 
-        def sample_img(feat_i, ys_i, xs_i):
-            return _bilinear_gather(
-                feat_i.reshape(h * w, cg), h, w, ys_i, xs_i
-            )
+        if quad:
+            def sample_img(feat_i, ys_i, xs_i):
+                return _bilinear_gather_quad(feat_i, ys_i, xs_i)
+        else:
+            def sample_img(feat_i, ys_i, xs_i):
+                return _bilinear_gather(
+                    feat_i.reshape(h * w, cg), h, w, ys_i, xs_i
+                )
 
         sampled = jax.vmap(sample_img)(feat, ys[:, :, :, g, :], xs[:, :, :, g, :])
         outs.append(sampled)  # (N, Ho, Wo, K, cg)

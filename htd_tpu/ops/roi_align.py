@@ -45,9 +45,13 @@ def _roi_align_core(
                                # (defaults to fw: densely packed levels);
                                # pass the pyramid W_pad to gather straight
                                # from a width-padded pyramid buffer
+    quad: bool = False,        # feat_flat is a quad-concat map (N, 4C):
+                               # row i = [f[i], f[i+1], f[i+stride],
+                               # f[i+stride+1]] — ONE wide gather fetches a
+                               # sample's whole 2x2 corner neighborhood
 ) -> Array:
     r = rois.shape[0]
-    c = feat_flat.shape[-1]
+    c = feat_flat.shape[-1] // (4 if quad else 1)
     oh = ow = out_size
     s = int(sampling_ratio) if sampling_ratio > 0 else int(max_samples)
     f32 = jnp.float32
@@ -96,6 +100,43 @@ def _roi_align_core(
     w_row = (fw if row_stride is None else row_stride).astype(jnp.int32)
     base = row_offset.astype(jnp.int32)
 
+    if quad:
+        # One 4C-wide row-gather per SAMPLE instead of four C-wide corner
+        # gathers: on this platform XLA row-gathers cap at ~136 GB/s for
+        # 512 B rows and speed up substantially with row width (PERF.md
+        # "Op-level measurements"), so same bytes in 1/4 the rows wins.
+        # Clamped +1 neighbors (y_low = H-1 / x_low = W-1) carry weight 0
+        # (mmcv frac=0 border rule), so whatever the quad map holds there
+        # — zero padding or the next pyramid level's rows — contributes 0.
+        wy_in = (my & y_in).astype(f32)
+        wx_in = (mx & x_in).astype(f32)
+        hy_, ly_ = hy * wy_in, ly * wy_in
+        hx_, lx_ = hx * wx_in, lx * wx_in
+
+        def oy(a):  # (R, oh, S) -> (R, oh, 1, S, 1)
+            return a[:, :, None, :, None]
+
+        def ox(a):  # (R, ow, S) -> (R, 1, ow, 1, S)
+            return a[:, None, :, None, :]
+
+        wgt = jnp.stack(
+            [oy(hy_) * ox(hx_), oy(hy_) * ox(lx_),
+             oy(ly_) * ox(hx_), oy(ly_) * ox(lx_)],
+            axis=-1,
+        ).reshape(r, oh, ow, s * s, 4)
+        row = y_low * w_row[:, None, None] + base[:, None, None]  # (R, oh, S)
+        idx = (row[:, :, None, :, None] + x_low[:, None, :, None, :]
+               ).reshape(r, oh, ow, s * s)
+        v = jnp.take(feat_flat, idx.reshape(-1), axis=0, mode="clip")
+        v = v.reshape(r, oh, ow, s * s, 4, c)
+        out = jax.lax.dot_general(
+            wgt.astype(feat_flat.dtype), v,
+            dimension_numbers=(((3, 4), (3, 4)), ((0, 1, 2), (0, 1, 2))),
+            preferred_element_type=f32,
+        )  # (R, oh, ow, C) in f32
+        count = jnp.maximum((grid_h * grid_w).astype(f32), 1.0)
+        return (out / count[:, None, None, None]).astype(feat_flat.dtype)
+
     # Fold the (sample, corner) structure into per-axis weight/index tables
     # of K = 2*S entries, then contract the K*K combinations against the
     # gathered rows with ONE batched dot — this runs on the MXU instead of
@@ -131,6 +172,23 @@ def _roi_align_core(
     )  # (R, oh, ow, C) in f32
     count = jnp.maximum((grid_h * grid_w).astype(f32), 1.0)
     return (out / count[:, None, None, None]).astype(feat_flat.dtype)
+
+
+def quad_concat_flat(flat: Array, row_stride: int) -> Array:
+    """Build the quad-concat map for `_roi_align_core(quad=True)`.
+
+    quad[i] = [f[i], f[i+1], f[i+row_stride], f[i+row_stride+1]] along
+    channels; rows shifted past the end read zeros. Valid for buffers where
+    a sample's (y+1, x+1) neighbors at flat index i+row_stride+1 are either
+    real neighbors or zero-weighted (clamped borders) — true for the padded
+    v4 pyramid (zeros-initialized, per-level width < w_pad).
+    """
+    n, c = flat.shape
+    z = jnp.zeros((row_stride + 1, c), flat.dtype)
+    f01 = jnp.concatenate([flat[1:], z[:1]], axis=0)
+    f10 = jnp.concatenate([flat[row_stride:], z[:row_stride]], axis=0)
+    f11 = jnp.concatenate([flat[row_stride + 1:], z], axis=0)
+    return jnp.concatenate([flat, f01, f10, f11], axis=-1)
 
 
 def roi_align(

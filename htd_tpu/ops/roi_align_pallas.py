@@ -203,6 +203,12 @@ def _pyr_write_level(pyr, lvl, row_off, img_rows, interpret=False):
     b, h, w, c = (int(s) for s in lvl.shape)
     rows_pad, w_pad, _ = (int(s) for s in pyr.shape)
     stripe = 8
+    # scoped-VMEM budget: (old + dst + src) blocks, double-buffered by the
+    # pipeline — stripe=8 at f32/w_pad~480/C=256 allocates 20.25M > the 16M
+    # scoped limit (caught by tools/train_smoke.py on-chip, f32 train path)
+    itemsize = jnp.dtype(pyr.dtype).itemsize
+    while stripe > 1 and 2 * itemsize * stripe * c * (2 * w_pad + w) > 14 * 2**20:
+        stripe //= 2
     while stripe > 1 and (h % stripe or row_off % stripe or img_rows % stripe):
         stripe //= 2
 
@@ -345,6 +351,14 @@ def roi_align_levels_pyramid(
     c = int(feats[0].shape[-1])
     pyr, offsets, w_pad, rows_pad, img_rows = _v4_pyramid(list(feats))
     flat_buf = pyr.reshape(-1, c)
+    # quad-concat gather: one 4C-wide row per sample instead of 4 C-wide
+    # corner rows (wide rows gather ~4x faster; see quad_concat_flat and
+    # _roi_align_core(quad=True) in ops/roi_align.py). Safe on this buffer:
+    # zero-initialized pads, w_pad > every level width, clamped +1
+    # neighbors are zero-weighted. A/B gate: HTD_QUAD_BA=0 reverts.
+    quad = os.environ.get("HTD_QUAD_BA", "1") == "1"
+    if quad:
+        flat_buf = _ra.quad_concat_flat(flat_buf, w_pad)
     flat_rois = rois.reshape(b * r, 4).astype(jnp.float32)
     img_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), r)
     row_stride = jnp.full((b * r,), w_pad, jnp.float32)
@@ -364,6 +378,7 @@ def roi_align_levels_pyramid(
             sampling_ratio=sampling_ratio,
             max_samples=max_samples,
             row_stride=row_stride,
+            quad=quad,
         )
         outs.append(sub.reshape(b, r, out_size, out_size, c))
     return outs

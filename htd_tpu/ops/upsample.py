@@ -34,11 +34,26 @@ _INTERPRET = False
 
 
 def _xla_up2_add(low: Array, lat: Array) -> Array:
+    import os
+
     b, h, w, c = low.shape
     x = jnp.broadcast_to(
         low[:, :, None, :, None, :], (b, h, 2, w, 2, c)
     ).reshape(b, 2 * h, 2 * w, c)
-    return lat + x
+    out = lat + x
+    # The broadcast+reshape lowering prefers T(2,128); in the FULL program
+    # XLA fuses it into the downstream 3x3 FPN output conv and flips that
+    # conv onto the slow EmitAllBatchInSublanes emitter (P2 conv 0.38 ->
+    # 2.8 ms, xplane round-3b). A row-major fence on the sum localizes the
+    # cost to one ~0.1 ms copy. A/B gate: HTD_FPN_FENCE=1.
+    if (
+        jax.default_backend() != "cpu"
+        and os.environ.get("HTD_FPN_FENCE", "0") == "1"
+    ):
+        from htd_tpu.ops.fence import layout_fence
+
+        out = layout_fence(out)
+    return out
 
 
 def _kernel(low_ref, lat_ref, out_ref):

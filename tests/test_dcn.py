@@ -65,6 +65,33 @@ def test_matches_oracle_random_offsets(rng):
     np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-4)
 
 
+def test_quad_gather_matches_oracle(rng, monkeypatch):
+    """HTD_DCN_QUAD=1 (one wide row-gather per tap) matches the oracle."""
+    monkeypatch.setenv("HTD_DCN_QUAD", "1")
+    x = rng.normal(0, 1, (2, 6, 7, 3)).astype(np.float32)
+    wgt = rng.normal(0, 0.5, (3, 3, 3, 5)).astype(np.float32)
+    off = rng.normal(0, 1.5, (2, 6, 7, 18)).astype(np.float32)
+    ours = np.asarray(deform_conv2d(jnp.asarray(x), jnp.asarray(off), jnp.asarray(wgt)))
+    ref = np_deform_conv(x, off, wgt)
+    np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-4)
+
+
+def test_quad_equals_corner_path(rng, monkeypatch):
+    """Quad-concat and 4-corner formulations agree bitwise-close in f32,
+    including far out-of-image offsets and deform_groups=2."""
+    x = rng.normal(0, 1, (2, 9, 8, 4)).astype(np.float32)
+    wgt = rng.normal(0, 0.5, (3, 3, 4, 6)).astype(np.float32)
+    for dg, scale in ((1, 1.5), (1, 30.0), (2, 2.0)):
+        off = rng.normal(0, scale, (2, 9, 8, dg * 18)).astype(np.float32)
+        monkeypatch.setenv("HTD_DCN_QUAD", "0")
+        corner = np.asarray(deform_conv2d(
+            jnp.asarray(x), jnp.asarray(off), jnp.asarray(wgt), deform_groups=dg))
+        monkeypatch.setenv("HTD_DCN_QUAD", "1")
+        quad = np.asarray(deform_conv2d(
+            jnp.asarray(x), jnp.asarray(off), jnp.asarray(wgt), deform_groups=dg))
+        np.testing.assert_allclose(quad, corner, rtol=1e-5, atol=1e-5)
+
+
 def test_stride2(rng):
     x = rng.normal(0, 1, (1, 8, 8, 2)).astype(np.float32)
     wgt = rng.normal(0, 0.5, (3, 3, 2, 4)).astype(np.float32)

@@ -532,6 +532,48 @@ def test_adpt_levels_pyramid_matches_per_level(rng):
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_adpt_levels_pyramid_quad_matches_corner(rng, monkeypatch):
+    """HTD_QUAD_BA quad-concat gather == 4-corner gather (values + grads)."""
+    from htd_tpu.ops.roi_align_pallas import roi_align_levels_pyramid
+
+    strides = (4, 8, 16, 32)
+    b, r = 2, 5
+    feats = [
+        jnp.asarray(
+            rng.normal(0, 1, (b, 48 // (2 ** i), 64 // (2 ** i), 8))
+            .astype(np.float32)
+        )
+        for i in range(4)
+    ]
+    rois = np.zeros((b, r, 4), np.float32)
+    rois[..., 0] = rng.uniform(-10, 200, (b, r))
+    rois[..., 1] = rng.uniform(-10, 150, (b, r))
+    rois[..., 2] = rois[..., 0] + rng.uniform(5, 150, (b, r))
+    rois[..., 3] = rois[..., 1] + rng.uniform(5, 150, (b, r))
+    jrois = jnp.asarray(rois)
+
+    def run():
+        return roi_align_levels_pyramid(feats, jrois, strides, 7, 0, 2)
+
+    def grad():
+        f = lambda *fs: sum(
+            jnp.sum(jnp.sin(o))
+            for o in roi_align_levels_pyramid(list(fs), jrois, strides, 7, 0, 2)
+        )
+        return jax.grad(f, argnums=tuple(range(4)))(*feats)
+
+    monkeypatch.setenv("HTD_QUAD_BA", "0")
+    corner_v, corner_g = run(), grad()
+    monkeypatch.setenv("HTD_QUAD_BA", "1")
+    quad_v, quad_g = run(), grad()
+    for a, b_ in zip(quad_v, corner_v):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-5, atol=1e-6)
+    for a, b_ in zip(quad_g, corner_g):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-6)
+
+
 def test_build_pyramid_xmajor_matches_transposed(rng):
     """x-major builder == swapaxes(row-major builder) for both arities."""
     from htd_tpu.ops.roi_align_pallas import (
