@@ -131,6 +131,10 @@ def deform_conv2d(
     ys = base_y[None, :, :, None, :] + off[..., 0]  # (N, Ho, Wo, dg, K)
     xs = base_x[None, :, :, None, :] + off[..., 1]
 
+    # Quad-concat gather (one 4C-wide row per sample): on-chip A/B REGRESSED
+    # the R-101-DCN backbone 42.2 -> 47.5 ms (2026-08-18) despite the
+    # isolated row-gather microbenchmark favoring wide rows — the padded
+    # quad build dominates. Stays opt-in.
     quad = os.environ.get("HTD_DCN_QUAD", "0") == "1"
 
     cg = cin // deform_groups

@@ -352,11 +352,12 @@ def roi_align_levels_pyramid(
     pyr, offsets, w_pad, rows_pad, img_rows = _v4_pyramid(list(feats))
     flat_buf = pyr.reshape(-1, c)
     # quad-concat gather: one 4C-wide row per sample instead of 4 C-wide
-    # corner rows (wide rows gather ~4x faster; see quad_concat_flat and
-    # _roi_align_core(quad=True) in ops/roi_align.py). Safe on this buffer:
-    # zero-initialized pads, w_pad > every level width, clamped +1
-    # neighbors are zero-weighted. A/B gate: HTD_QUAD_BA=0 reverts.
-    quad = os.environ.get("HTD_QUAD_BA", "1") == "1"
+    # corner rows (see quad_concat_flat and _roi_align_core(quad=True) in
+    # ops/roi_align.py). The isolated-gather microbenchmark suggested ~4x,
+    # but the end-to-end on-chip A/B REGRESSED ~1 ms on R-50 (49.55 vs
+    # 48.56 ms/img, 2026-08-18) — the quad-concat build itself costs more
+    # than the gather saves in-program. Opt-in: HTD_QUAD_BA=1.
+    quad = os.environ.get("HTD_QUAD_BA", "0") == "1"
     if quad:
         flat_buf = _ra.quad_concat_flat(flat_buf, w_pad)
     flat_rois = rois.reshape(b * r, 4).astype(jnp.float32)
