@@ -8,8 +8,10 @@ extra P6 = max_pool(P5, 1, stride 2).
 
 from __future__ import annotations
 
+import os
 from typing import Any, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -48,12 +50,26 @@ class FPN(nn.Module):
                 laterals[i - 1] = upsample2x_add(lo, hi)
             else:
                 laterals[i - 1] = hi + resize_nearest(lo, target)
-        outs = [
-            conv(self.out_channels, 3, 1, dtype=self.dtype, name=f"fpn_{i}")(
-                laterals[i]
+        if (
+            jax.default_backend() != "cpu"
+            and os.environ.get(
+                "HTD_TAPDOT_FPN", os.environ.get("HTD_TAPDOT_CONV", "1")
             )
-            for i in range(n)
-        ]
+            == "1"
+        ):
+            # 9-shifted-flat-matmul 3x3 conv (ops/conv3x3.py): the XLA
+            # emitter ran the P2 output conv at ~20% MXU efficiency
+            # (2.67 ms, T(2,128) output) in the full program
+            from htd_tpu.ops.conv3x3 import TapDotConv3x3
+
+            out_conv = lambda i: TapDotConv3x3(  # noqa: E731
+                self.out_channels, dtype=self.dtype, name=f"fpn_{i}"
+            )
+        else:
+            out_conv = lambda i: conv(  # noqa: E731
+                self.out_channels, 3, 1, dtype=self.dtype, name=f"fpn_{i}"
+            )
+        outs = [out_conv(i)(laterals[i]) for i in range(n)]
         for _ in range(self.num_outs - n):
             outs.append(max_pool(outs[-1], 1, 2, 0))
         return tuple(outs)

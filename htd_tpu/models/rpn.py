@@ -38,10 +38,31 @@ class RPNHead(nn.Module):
 
     @nn.compact
     def __call__(self, feats: Sequence[Array]):
-        conv = nn.Conv(
-            self.feat_channels, (3, 3), padding=((1, 1), (1, 1)),
-            kernel_init=nn.initializers.normal(0.01), dtype=self.dtype, name="rpn_conv",
-        )
+        if (
+            jax.default_backend() != "cpu"
+            and os.environ.get(
+                "HTD_TAPDOT_RPN", os.environ.get("HTD_TAPDOT_CONV", "1")
+            )
+            == "1"
+        ):
+            # 9-shifted-flat-matmul schedule for the 3x3 conv: dodges the
+            # EmitAllBatchInSublanes emitter that ran the P2 rpn_conv at
+            # ~20% MXU efficiency in T(2,128) (see ops/conv3x3.py).
+            # Default ON: on-chip A/B 2026-08-18 measured full R-50 42.28 ms
+            # with FPN+RPN tap-dot vs 43.16 FPN-only / 43.49 RPN-only /
+            # 44.13 neither. HTD_TAPDOT_CONV=0 reverts both sites.
+            from htd_tpu.ops.conv3x3 import TapDotConv3x3
+
+            conv = TapDotConv3x3(
+                self.feat_channels, kernel_init=nn.initializers.normal(0.01),
+                dtype=self.dtype, name="rpn_conv",
+            )
+        else:
+            conv = nn.Conv(
+                self.feat_channels, (3, 3), padding=((1, 1), (1, 1)),
+                kernel_init=nn.initializers.normal(0.01), dtype=self.dtype,
+                name="rpn_conv",
+            )
         cls = nn.Conv(
             self.num_anchors, (1, 1),
             kernel_init=nn.initializers.normal(0.01), dtype=self.dtype, name="rpn_cls",

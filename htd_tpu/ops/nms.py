@@ -16,6 +16,7 @@ replace the inner loop; the public contract stays the same.
 
 from __future__ import annotations
 
+import os
 from typing import Tuple
 
 import jax
@@ -283,7 +284,15 @@ def multiclass_nms(
     flat_scores = jnp.where(flat_scores > score_thr, flat_scores, NEG_INF)
 
     cap = min(candidate_cap, n * num_classes)
-    top_scores, top_idx = jax.lax.top_k(flat_scores, cap)
+    if os.environ.get("HTD_FLAT_TOPK", "0") == "1":
+        top_scores, top_idx = jax.lax.top_k(flat_scores, cap)
+    else:
+        # exact two-stage top-k: the flat lax.top_k over the 80k (roi,
+        # class) scores lowers to a 0.7 ms full sort on TPU (xplane
+        # 2026-08-18); the tiled form sorts 10 tiles batched instead
+        from htd_tpu.ops.topk import top_k_tiled
+
+        top_scores, top_idx = top_k_tiled(flat_scores, cap)
     roi_idx = top_idx // num_classes
     cls_idx = (top_idx % num_classes).astype(jnp.int32)
     cand_boxes = boxes[roi_idx]

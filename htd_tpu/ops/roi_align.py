@@ -22,6 +22,7 @@ pyramid — 4x less traffic than the naive align-on-every-level-and-select.
 
 from __future__ import annotations
 
+import os
 from typing import Sequence
 
 import numpy as np
@@ -29,6 +30,22 @@ import jax
 import jax.numpy as jnp
 
 Array = jnp.ndarray
+
+
+def _interp_acc_dtype(feat_dtype):
+    """Accumulation dtype for the bilinear-interp contraction.
+
+    f32 features (CPU tests, parity suites) always accumulate in f32 —
+    bit-identical to the oracle. bf16 features accumulate in bf16 unless
+    HTD_F32_INTERP=1: `preferred_element_type=f32` on the tiny (k*k)
+    contraction makes XLA lower it as an f32 VPU multiply-reduce and
+    MATERIALIZE an f32 copy of the entire gathered corner tensor
+    (~200 MB and ~3.5 ms/img across the BA merge + v4 fallback paths in
+    the 2026-08-18 xplane trace); bf16 accumulation of <=64 weighted
+    terms costs ~2 bits on values that are already bf16."""
+    if feat_dtype == jnp.float32 or os.environ.get("HTD_F32_INTERP", "0") == "1":
+        return jnp.float32
+    return feat_dtype
 
 
 def _roi_align_core(
@@ -129,13 +146,14 @@ def _roi_align_core(
                ).reshape(r, oh, ow, s * s)
         v = jnp.take(feat_flat, idx.reshape(-1), axis=0, mode="clip")
         v = v.reshape(r, oh, ow, s * s, 4, c)
+        acc = _interp_acc_dtype(feat_flat.dtype)
         out = jax.lax.dot_general(
             wgt.astype(feat_flat.dtype), v,
             dimension_numbers=(((3, 4), (3, 4)), ((0, 1, 2), (0, 1, 2))),
-            preferred_element_type=f32,
-        )  # (R, oh, ow, C) in f32
+            preferred_element_type=acc,
+        )  # (R, oh, ow, C) in acc dtype
         count = jnp.maximum((grid_h * grid_w).astype(f32), 1.0)
-        return (out / count[:, None, None, None]).astype(feat_flat.dtype)
+        return (out / count[:, None, None, None].astype(acc)).astype(feat_flat.dtype)
 
     # Fold the (sample, corner) structure into per-axis weight/index tables
     # of K = 2*S entries, then contract the K*K combinations against the
@@ -165,13 +183,14 @@ def _roi_align_core(
     # gathered tensor (~0.7 ms per 300k-row gather, trace round 2)
     v = jnp.take(feat_flat, idx.reshape(-1), axis=0, mode="clip")
     v = v.reshape(r, oh, ow, k * k, c)
+    acc = _interp_acc_dtype(feat_flat.dtype)
     out = jax.lax.dot_general(
         wgt.astype(feat_flat.dtype), v,
         dimension_numbers=(((3,), (3,)), ((0, 1, 2), (0, 1, 2))),
-        preferred_element_type=f32,
-    )  # (R, oh, ow, C) in f32
+        preferred_element_type=acc,
+    )  # (R, oh, ow, C) in acc dtype
     count = jnp.maximum((grid_h * grid_w).astype(f32), 1.0)
-    return (out / count[:, None, None, None]).astype(feat_flat.dtype)
+    return (out / count[:, None, None, None].astype(acc)).astype(feat_flat.dtype)
 
 
 def quad_concat_flat(flat: Array, row_stride: int) -> Array:
