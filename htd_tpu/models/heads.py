@@ -20,6 +20,7 @@ expressed with per-image masks, vmapped over B.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional, Tuple
 
 import jax
@@ -27,6 +28,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from htd_tpu.config import GlobalContextConfig, HTDHeadConfig
+from htd_tpu.models.layers import MXUGroupNorm
 from htd_tpu.ops.boxes import bbox_overlaps, map_roi_levels
 
 Array = jnp.ndarray
@@ -173,8 +175,17 @@ class HTDBBoxHead(nn.Module):
                 )
             )
         self.reg_convs = convs
+        # MXUGroupNorm (statistics as MXU dots) is OPT-IN: the 2026-08-18
+        # on-chip A/B measured 23.42 img/s vs 23.57 with flax GN — the GN
+        # reduces are not a measurable cost in the current program (PERF.md
+        # "Round-3 negative results"). Params are identical either way.
+        gn_cls = (
+            MXUGroupNorm
+            if os.environ.get("HTD_MXU_GN", "0") == "1"
+            else nn.GroupNorm
+        )
         self.reg_gns = [
-            nn.GroupNorm(num_groups=c.gn_groups, epsilon=1e-5, dtype=self.dtype, name=f"reg_gn{i}")
+            gn_cls(num_groups=c.gn_groups, epsilon=1e-5, dtype=self.dtype, name=f"reg_gn{i}")
             for i in range(c.num_reg_convs - 1)
         ]
 

@@ -41,6 +41,72 @@ class FrozenBatchNorm(nn.Module):
         return x * mul.astype(x.dtype) + add.astype(x.dtype)
 
 
+class MXUGroupNorm(nn.Module):
+    """GroupNorm with MXU-contracted statistics (drop-in for nn.GroupNorm).
+
+    flax's nn.GroupNorm lowers the per-sample mean/variance to f32 VPU
+    convert+reduce fusions; on the 1000-roi BA reg conv stack those reduces
+    cost ~7.5 ms/image (xplane, PERF.md round 3c) — more than the conv
+    stack's own MXU time. Here the (spatial x group) reduction is expressed
+    as one matmul per moment against a constant 0/1 group-selection matrix
+    (bf16 inputs, f32 MXU accumulation), and the normalize is a single
+    elementwise fusion. Statistics formula matches flax (E[x^2] - E[x]^2).
+
+    Semantics: torch nn.GroupNorm over (C/g, *spatial) of each leading-axis
+    sample — the mmdet ConvModule GN used by the reference BA branch
+    (htd_bbox_head.py:103-117). Param names/shapes are identical to
+    nn.GroupNorm (scale/bias, (C,), f32) so checkpoints are interchangeable.
+
+    OPT-IN via HTD_MXU_GN=1: the 2026-08-18 on-chip A/B on the R-50 bench
+    was neutral-to-slightly-worse (23.42 vs 23.57 img/s with flax GN) —
+    the per-roi GN reduces are not a measurable cost in the production
+    program, so the simpler flax form stays the default.
+    """
+
+    num_groups: int
+    epsilon: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        c = int(x.shape[-1])
+        g = self.num_groups
+        assert c % g == 0, (c, g)
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        x = jnp.asarray(x, self.dtype)
+        n = int(x.shape[0])
+        k = 1
+        for d in x.shape[1:]:
+            k *= int(d)
+        spatial = k // c
+        xf = x.reshape(n, k)
+        # constant (K, g) 0/1 selection: column j sums every spatial position
+        # of group j's channels. Flattening order of x is (spatial..., C),
+        # so the matrix is the (C, g) group one-hot tiled over spatial.
+        sel = jnp.repeat(jnp.eye(g, dtype=x.dtype), c // g, axis=0)  # (C, g)
+        m = jnp.broadcast_to(sel[None], (spatial, c, g)).reshape(k, g)
+        # f32 inputs must not be demoted to bf16 passes (platform quirk);
+        # bf16 inputs accumulate in f32 on the MXU natively.
+        prec = jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
+        s1 = jax.lax.dot(xf, m, precision=prec,
+                         preferred_element_type=jnp.float32)
+        s2 = jax.lax.dot(xf * xf, m, precision=prec,
+                         preferred_element_type=jnp.float32)
+        cnt = float(k // g)
+        mean = s1 / cnt                                   # (n, g) f32
+        var = s2 / cnt - mean * mean
+        rstd = jax.lax.rsqrt(var + self.epsilon)
+        rstd_c = jnp.repeat(rstd, c // g, axis=1)         # (n, C)
+        mean_c = jnp.repeat(mean, c // g, axis=1)
+        mul = scale[None, :] * rstd_c
+        add = bias[None, :] - mean_c * mul
+        shape = (n,) + (1,) * (x.ndim - 2) + (c,)
+        return x * mul.astype(x.dtype).reshape(shape) + add.astype(
+            x.dtype
+        ).reshape(shape)
+
+
 def conv(
     features: int,
     kernel: int,
