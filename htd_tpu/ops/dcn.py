@@ -14,6 +14,7 @@ matmul over (taps x in-channels).
 
 from __future__ import annotations
 
+import functools
 import os
 
 import jax
@@ -95,6 +96,133 @@ def _bilinear_gather(feat_flat: Array, h: int, w: int, ys: Array, xs: Array) -> 
     )
 
 
+def _window_sample(
+    feat: Array,       # (H, W, C) one image, one deform group
+    ys: Array,         # (Ho, Wo, K) f32 sample rows
+    xs: Array,         # (Ho, Wo, K) f32 sample cols
+    base_y: Array,     # (Ho, Wo, K) f32 integer-valued tap base rows
+    base_x: Array,     # (Ho, Wo, K) f32 integer-valued tap base cols
+    kh: int,
+    kw: int,
+    stride: int,
+    dilation: int,
+    pad: int,
+    m: int,
+    cap: int,
+) -> Array:
+    """Windowed select-MAC bilinear sampling (TPU fast path for DCN).
+
+    The XLA row-gather engine caps at ~136 GB/s for the 512 B rows this op
+    needs (PERF.md "Known platform quirks"), making gather-based DCN
+    sampling the flagship's dominant extra cost. This path exploits the
+    *locality* of deformable-conv offsets instead: a sample whose bilinear
+    corners fall within the integer window [-m, m+1] of its tap's base
+    position is computed as a weighted sum of (2m+2)^2 statically *shifted
+    views* of the zero-padded feature map — pure VPU multiply-adds on
+    contiguous data, no gather at all. The data-dependent part moves from
+    the address stream into the weights:
+
+        w(a, b) = [floor(dy)==a](1-ly)·wx + [floor(dy)==a-1]ly·wx, ...
+
+    Samples outside the window (|floor(y)-base| > m, likewise x) are
+    flagged, compacted by top-k to a fixed `cap`, resolved EXACTLY by the
+    row-gather path, and scattered back. With mmcv's zero-initialized
+    offset convs nothing is ever flagged at init; trained offsets
+    concentrate within a few pixels so the window catches almost all
+    samples. Flagged samples beyond `cap` keep a zero contribution (same
+    bounded-capacity contract as the v4 RoIAlign fallback).
+
+    Exactness: for in-window samples the corner weights and their
+    accumulation order match `_bilinear_gather` term-for-term (interleaved
+    exact zeros do not perturb f32 or bf16 sums), so f32 results are
+    bit-identical and bf16 results match the gather path's rounding.
+    """
+    h, w, c = feat.shape
+    ho, wo, k = ys.shape
+    f32 = jnp.float32
+    win = 2 * m + 2  # corner displacements a, b in [-m, m+1]
+
+    p_before = pad + m
+    p_after_y = max(0, (ho - 1) * stride + (kh - 1) * dilation + m + 2 - pad - h)
+    p_after_x = max(0, (wo - 1) * stride + (kw - 1) * dilation + m + 2 - pad - w)
+    padmap = jnp.pad(
+        feat, ((p_before, p_after_y), (p_before, p_after_x), (0, 0))
+    )
+
+    inside = (ys > -1.0) & (ys < h) & (xs > -1.0) & (xs < w)
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    ly = (ys - y0).astype(f32)
+    lx = (xs - x0).astype(f32)
+    dyc = y0 - base_y  # integer-valued float corner displacement
+    dxc = x0 - base_x
+    in_win = (dyc >= -m) & (dyc <= m) & (dxc >= -m) & (dxc <= m)
+    live = inside & in_win
+
+    # per-displacement weights (Ho, Wo, K, win); live-masked so partial
+    # (out-of-window) corner sums never leak into the output
+    disp = jnp.arange(-m, m + 2, dtype=f32)
+    wy = jnp.where(dyc[..., None] == disp, (1.0 - ly)[..., None], 0.0)
+    wy = wy + jnp.where((dyc + 1.0)[..., None] == disp, ly[..., None], 0.0)
+    wx_ = jnp.where(dxc[..., None] == disp, (1.0 - lx)[..., None], 0.0)
+    wx_ = wx_ + jnp.where((dxc + 1.0)[..., None] == disp, lx[..., None], 0.0)
+    wy = jnp.where(live[..., None], wy, 0.0)
+
+    def shifted(dy_shift: int, dx_shift: int) -> Array:
+        # view of padmap at output-grid displacement (dy_shift, dx_shift)
+        # relative to (i*stride - pad, j*stride - pad)
+        oy = dy_shift + p_before - pad
+        ox = dx_shift + p_before - pad
+        return jax.lax.slice(
+            padmap,
+            (oy, ox, 0),
+            (oy + (ho - 1) * stride + 1, ox + (wo - 1) * stride + 1, c),
+            (stride, stride, 1),
+        )
+
+    cols = []
+    for kyi in range(kh):
+        for kxi in range(kw):
+            t = kyi * kw + kxi
+            acc = jnp.zeros((ho, wo, c), feat.dtype)
+            for ai in range(win):
+                a = ai - m
+                wrow = wy[..., t, ai]
+                for bi in range(win):
+                    b = bi - m
+                    wgt = (wrow * wx_[..., t, bi]).astype(feat.dtype)
+                    sl = shifted(kyi * dilation + a, kxi * dilation + b)
+                    acc = acc + sl * wgt[..., None]
+            cols.append(acc)
+    sampled = jnp.stack(cols, axis=-2)  # (Ho, Wo, K, C)
+
+    # Exact gather fallback for flagged (inside but out-of-window) samples,
+    # at PIXEL granularity (a flagged pixel recomputes all K taps): the
+    # per-sample top-k compaction profiled at ~0.33 ms/conv (37800-element
+    # sort) x 27 DCN convs; per-pixel flags cut the sort domain 9x and the
+    # whole branch sits under a lax.cond — with mmcv's zero-initialized
+    # offset convs (and any offsets within the window) it never runs.
+    need_fb_px = (inside & ~in_win).any(axis=-1).reshape(-1)  # (Ho*Wo,)
+    n_px = ho * wo
+    cap_px = max(1, min(cap, n_px))
+
+    def run_fallback(sampled_):
+        score = need_fb_px.astype(f32)
+        _, idx = jax.lax.top_k(score, cap_px)
+        fb_valid = jnp.take(need_fb_px, idx)
+        fb_ys = jnp.take(ys.reshape(n_px, k), idx, axis=0)  # (cap, K)
+        fb_xs = jnp.take(xs.reshape(n_px, k), idx, axis=0)
+        fb = _bilinear_gather(feat.reshape(h * w, c), h, w, fb_ys, fb_xs)
+        flat = sampled_.reshape(n_px, k * c)
+        cur = jnp.take(flat, idx, axis=0)
+        new = jnp.where(fb_valid[:, None], fb.reshape(cap_px, k * c), cur)
+        return flat.at[idx].set(new).reshape(ho, wo, k, c)
+
+    return jax.lax.cond(
+        jnp.any(need_fb_px), run_fallback, lambda s: s, sampled
+    )
+
+
 def deform_conv2d(
     x: Array,          # (N, H, W, Cin)
     offsets: Array,    # (N, Ho, Wo, dg*18) — [g, tap, (y, x)] channel layout
@@ -102,6 +230,86 @@ def deform_conv2d(
     stride: int = 1,
     dilation: int = 1,
     deform_groups: int = 1,
+) -> Array:
+    # Sampler impl dispatch (HTD_DCN_IMPL):
+    #   pallas — fused windowed select-MAC Pallas kernel + exact capped
+    #            correction (ops/dcn_pallas.py). Default on TPU where its
+    #            scope guards hold (stride 1, dg 1, weight fits VMEM);
+    #            training grads via custom_vjp over the gather formulation.
+    #   window — the XLA twin of the kernel (shifted-view select-MAC).
+    #            Measured SLOWER than gather end-to-end at the XLA graph
+    #            level (per-tap materialization + sort-based compaction,
+    #            2026-08-18 A/B) — kept as the kernel's bit-exact oracle.
+    #   gather — 4 corner row-gathers per tap (reference formulation;
+    #            default off-TPU, the grad oracle, and the fallback for
+    #            shapes outside the kernel's scope).
+    #   quad   — one 4C-wide row-gather per tap: on-chip A/B REGRESSED the
+    #            R-101-DCN backbone 42.2 -> 47.5 ms (2026-08-18).
+    kh, kw, _, cout = weight.shape
+    cin = x.shape[-1]
+    impl = os.environ.get("HTD_DCN_IMPL", "")
+    if impl == "":
+        impl = "pallas" if jax.default_backend() not in ("cpu",) else "gather"
+    if os.environ.get("HTD_DCN_QUAD", "0") == "1":
+        impl = "quad"
+    if impl not in ("pallas", "window", "gather", "quad"):
+        raise ValueError(f"unknown HTD_DCN_IMPL {impl!r}")
+    win_m = int(os.environ.get("HTD_DCN_WINDOW_M", "1"))
+    fb_cap = int(os.environ.get("HTD_DCN_FB_CAP", "128"))
+    if impl == "pallas":
+        kernel_ok = (
+            deform_groups == 1
+            and stride == 1
+            and kh * kw * cin * cout * x.dtype.itemsize <= 6 * 2**20
+        )
+        if kernel_ok:
+            pad = (kh - 1) // 2 * dilation
+            fn = _pallas_dcn_fn(dilation, pad, win_m, fb_cap)
+            return fn(x, offsets, weight)
+        impl = "gather"
+    return _dcn_xla_impl(
+        x, offsets, weight, stride, dilation, deform_groups, impl,
+        win_m, fb_cap,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _pallas_dcn_fn(dilation: int, pad: int, m: int, cap: int):
+    """custom_vjp wrapper: Pallas windowed forward, gather-formulation
+    gradients (exact; recomputes the forward in bwd)."""
+
+    def ref(x, offsets, weight):
+        return _dcn_xla_impl(
+            x, offsets, weight, 1, dilation, 1, "gather", m, cap
+        )
+
+    @jax.custom_vjp
+    def f(x, offsets, weight):
+        from htd_tpu.ops.dcn_pallas import dcn_conv_windowed
+
+        return dcn_conv_windowed(x, offsets, weight, pad, dilation, m, cap)
+
+    def fwd(x, offsets, weight):
+        return f(x, offsets, weight), (x, offsets, weight)
+
+    def bwd(res, g):
+        _, vjp = jax.vjp(ref, *res)
+        return vjp(g)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def _dcn_xla_impl(
+    x: Array,
+    offsets: Array,
+    weight: Array,
+    stride: int,
+    dilation: int,
+    deform_groups: int,
+    impl: str,
+    win_m: int,
+    fb_cap: int,
 ) -> Array:
     n, h, w, cin = x.shape
     kh, kw, _, cout = weight.shape
@@ -131,20 +339,20 @@ def deform_conv2d(
     ys = base_y[None, :, :, None, :] + off[..., 0]  # (N, Ho, Wo, dg, K)
     xs = base_x[None, :, :, None, :] + off[..., 1]
 
-    # Quad-concat gather (one 4C-wide row per sample): on-chip A/B REGRESSED
-    # the R-101-DCN backbone 42.2 -> 47.5 ms (2026-08-18) despite the
-    # isolated row-gather microbenchmark favoring wide rows — the padded
-    # quad build dominates. Stays opt-in.
-    quad = os.environ.get("HTD_DCN_QUAD", "0") == "1"
-
     cg = cin // deform_groups
     outs = []
     for g in range(deform_groups):
         feat = x[..., g * cg : (g + 1) * cg]
 
-        if quad:
+        if impl == "quad":
             def sample_img(feat_i, ys_i, xs_i):
                 return _bilinear_gather_quad(feat_i, ys_i, xs_i)
+        elif impl == "window":
+            def sample_img(feat_i, ys_i, xs_i):
+                return _window_sample(
+                    feat_i, ys_i, xs_i, base_y, base_x, kh, kw,
+                    stride, dilation, pad, win_m, fb_cap,
+                )
         else:
             def sample_img(feat_i, ys_i, xs_i):
                 return _bilinear_gather(

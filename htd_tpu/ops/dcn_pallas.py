@@ -1,0 +1,242 @@
+"""Windowed DCN sampling + conv contraction as a fused Pallas TPU kernel.
+
+Behavioral spec: mmcv-full 1.2.1 DeformConv2d (DCNv1) forward, as exposed
+through `htd_tpu.ops.dcn.deform_conv2d` (reference resnet.py:171-195 wires
+it as conv2 of the DCN-stage bottlenecks). This kernel computes, for one
+image and one deform group,
+
+    out[i, j, :] = sum_k bilinear(feat, base(i,j,k) + off(i,j,k)) @ W[k]
+
+with the bilinear sampling done by the *windowed select-MAC* scheme (see
+`ops/dcn.py::_window_sample` — the XLA twin used as the test oracle):
+
+  * a sample whose corners stay within the integer window [-m, m+1] of its
+    tap's base position is a weighted sum of (2m+2)^2 statically shifted
+    VMEM views of the zero-padded feature stripe; the data-dependence
+    moves from the address stream (the ~136 GB/s XLA gather engine, the
+    flagship's dominant extra cost) into VPU select weights;
+  * the per-tap (R*Wo, C) @ (C, Cout) conv contraction runs on the MXU in
+    the same kernel, so the (Ho, Wo, K, C) sampled tensor never exists;
+  * in-image samples whose offsets escape the window set a per-pixel flag;
+    the caller (`dcn_conv_windowed`) resolves up to `cap` flagged pixels
+    per image EXACTLY via the gather path and scatter-ADDs the correction
+    into the output (no lax.cond — with nothing flagged the correction is
+    a zero add, which is the permanent state for mmcv's zero-initialized
+    offset convs and the common state for trained detection backbones).
+
+Scope guards (callers fall back to the gather path otherwise): stride 1
+(27 of the 30 R-101-DCN convs; the three stage-entry stride-2 convs keep
+the gather form), deform_groups 1 (all HTD configs), weight small enough
+to sit in VMEM.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jnp.ndarray
+
+# test hook: run the kernel in interpret mode on CPU
+_INTERPRET = False
+
+# flagged-pixel capacity of the exact correction pass (per image, per conv)
+FB_CAP = 128
+
+
+def _dcn_kernel(pad0_ref, pad1_ref, off_ref, w_ref, out_ref, flag_ref,
+                *, r, wo, c, cout, kh, kw, m, h, w, pad, dil, out_dtype):
+    win = 2 * m + 2
+    f32 = jnp.float32
+    i = pl.program_id(0)
+
+    # stripe: rows [i*R, i*R + L) of the padded map (L <= 2R by the caller's
+    # geometry checks), assembled from two consecutive R-row blocks
+    stripe = jnp.concatenate([pad0_ref[...], pad1_ref[...]], axis=0)
+
+    off = off_ref[...].astype(f32)  # (R, Wo, 2K)
+    # base grid (global output coords)
+    row0 = (i * r).astype(f32)
+    iy = jax.lax.broadcasted_iota(jnp.int32, (r, wo, 1), 0).astype(f32) + row0
+    ix = jax.lax.broadcasted_iota(jnp.int32, (r, wo, 1), 1).astype(f32)
+
+    acc = jnp.zeros((r * wo, cout), f32)
+    flag = jnp.zeros((r, wo, 1), f32)
+    for kyi in range(kh):
+        for kxi in range(kw):
+            t = kyi * kw + kxi
+            ys = iy - pad + kyi * dil + off[:, :, 2 * t : 2 * t + 1]
+            xs = ix - pad + kxi * dil + off[:, :, 2 * t + 1 : 2 * t + 2]
+            y0 = jnp.floor(ys)
+            x0 = jnp.floor(xs)
+            ly = ys - y0
+            lx = xs - x0
+            dyc = y0 - (iy - pad + kyi * dil)
+            dxc = x0 - (ix - pad + kxi * dil)
+            inside = (ys > -1.0) & (ys < h) & (xs > -1.0) & (xs < w)
+            in_win = (
+                (dyc >= -m) & (dyc <= m) & (dxc >= -m) & (dxc <= m)
+            )
+            live = (inside & in_win).astype(f32)
+            flag += (inside & ~in_win).astype(f32)
+
+            samp = jnp.zeros((r, wo, c), stripe.dtype)
+            for ai in range(win):
+                a = ai - m
+                wy = (
+                    jnp.where(dyc == a, 1.0 - ly, 0.0)
+                    + jnp.where(dyc == a - 1.0, ly, 0.0)
+                ) * live
+                row_off = kyi * dil + a + m
+                for bi in range(win):
+                    b = bi - m
+                    wx = jnp.where(dxc == b, 1.0 - lx, 0.0) + jnp.where(
+                        dxc == b - 1.0, lx, 0.0
+                    )
+                    col_off = kxi * dil + b + m
+                    sl = jax.lax.slice(
+                        stripe,
+                        (row_off, col_off, 0),
+                        (row_off + r, col_off + wo, c),
+                    )
+                    samp = samp + sl * (wy * wx).astype(stripe.dtype)
+            acc = acc + jax.lax.dot_general(
+                samp.reshape(r * wo, c),
+                w_ref[pl.ds(t * c, c), :],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
+    out_ref[...] = acc.reshape(r, wo, cout).astype(out_dtype)
+    flag_ref[...] = jnp.minimum(flag, 1.0)
+
+
+def dcn_sample_conv_pallas(
+    feat: Array,     # (H, W, C) one image, one deform group
+    offsets: Array,  # (Ho, Wo, 2K) f32, [tap, (y, x)] minor layout
+    weight: Array,   # (K*C, Cout), tap-major rows
+    kh: int,
+    kw: int,
+    pad: int,
+    dilation: int,
+    m: int,
+):
+    """Returns (out (Ho, Wo, Cout), flag (Ho, Wo) f32 0/1). stride==1 only."""
+    h, w, c = (int(s) for s in feat.shape)
+    ho, wo, _ = (int(s) for s in offsets.shape)
+    cout = int(weight.shape[-1])
+    r = 8
+    n_blocks = -(-ho // r)
+    # sublane-align the output width: the per-tap (R, Wop, C) -> (R*Wop, C)
+    # flatten feeding the MXU dot merges the row dims, which is only a safe
+    # retile when the merged dim is a multiple of the 8-row sublane tile
+    wop = -(-wo // 8) * 8
+    # row geometry: stripe length per block L = (R-1) + (kh-1)*dil + 2m + 2
+    ell = (r - 1) + (kh - 1) * dilation + 2 * m + 2
+    if ell > 2 * r:
+        raise ValueError(f"window m={m} too large for R={r} row blocks")
+    pb = pad + m
+    rows_pad = (n_blocks + 1) * r
+    pa_y = rows_pad - pb - h
+    pa_x = max(0, (wop - 1) + (kw - 1) * dilation + m + 2 - pad - w)
+    padmap = jnp.pad(feat, ((pb, pa_y), (pb, pa_x), (0, 0)))
+    off_p = jnp.pad(
+        offsets, ((0, n_blocks * r - ho), (0, wop - wo), (0, 0))
+    )
+
+    kernel = functools.partial(
+        _dcn_kernel,
+        r=r, wo=wop, c=c, cout=cout, kh=kh, kw=kw, m=m,
+        h=float(h), w=float(w), pad=pad, dil=dilation,
+        out_dtype=feat.dtype,
+    )
+    wp = w + pb + pa_x
+    out, flag = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((r, wp, c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((r, wp, c), lambda i: (i + 1, 0, 0)),
+            pl.BlockSpec((r, wop, offsets.shape[-1]), lambda i: (i, 0, 0)),
+            pl.BlockSpec((weight.shape[0], cout), lambda i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((r, wop, cout), lambda i: (i, 0, 0)),
+            pl.BlockSpec((r, wop, 1), lambda i: (i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_blocks * r, wop, cout), feat.dtype),
+            jax.ShapeDtypeStruct((n_blocks * r, wop, 1), jnp.float32),
+        ],
+        compiler_params=None if _INTERPRET else pltpu.CompilerParams(
+            vmem_limit_bytes=80 * 1024 * 1024
+        ),
+        interpret=_INTERPRET,
+    )(padmap, padmap, off_p, weight)
+    return out[:ho, :wo], flag[:ho, :wo, 0]
+
+
+def dcn_conv_windowed(
+    x: Array,        # (N, H, W, C)
+    offsets: Array,  # (N, Ho, Wo, 2K) any float dtype
+    weight: Array,   # (kh, kw, C, Cout) HWIO
+    pad: int,
+    dilation: int,
+    m: int,
+    cap: int = FB_CAP,
+) -> Array:
+    """Fused windowed DCN conv (stride 1, deform_groups 1) with the exact
+    capped correction pass. Returns (N, Ho, Wo, Cout)."""
+    from htd_tpu.ops.dcn import _bilinear_gather
+
+    n, h, w, c = (int(s) for s in x.shape)
+    kh, kw = int(weight.shape[0]), int(weight.shape[1])
+    cout = int(weight.shape[-1])
+    k = kh * kw
+    ho, wo = int(offsets.shape[1]), int(offsets.shape[2])
+    f32 = jnp.float32
+    wmat = weight.reshape(k * c, cout).astype(x.dtype)
+    cap = max(1, min(cap, ho * wo))
+
+    outs = []
+    for img in range(n):
+        off = offsets[img].astype(f32)
+        out, flag = dcn_sample_conv_pallas(
+            x[img], off, wmat, kh, kw, pad, dilation, m
+        )
+        # exact correction for flagged pixels (top-cap compaction; zero add
+        # when nothing is flagged — no cond, no windowed-value re-read)
+        _, idx = jax.lax.top_k(flag.reshape(-1), cap)
+        valid = jnp.take(flag.reshape(-1), idx) > 0.0
+
+        off_px = jnp.take(off.reshape(ho * wo, 2 * k), idx, axis=0)
+        py = (idx // wo).astype(f32)
+        px = (idx % wo).astype(f32)
+        ky = jnp.arange(kh, dtype=f32) * dilation
+        kx = jnp.arange(kw, dtype=f32) * dilation
+        base_y = py[:, None] - pad + jnp.repeat(ky, kw)[None, :]
+        base_x = px[:, None] - pad + jnp.tile(kx, kh)[None, :]
+        ys = base_y + off_px[:, 0::2]
+        xs = base_x + off_px[:, 1::2]
+        y0 = jnp.floor(ys)
+        x0 = jnp.floor(xs)
+        inside = (ys > -1.0) & (ys < h) & (xs > -1.0) & (xs < w)
+        oow = ~(
+            (y0 - base_y >= -m) & (y0 - base_y <= m)
+            & (x0 - base_x >= -m) & (x0 - base_x <= m)
+        )
+        need = inside & oow & valid[:, None]
+        fb = _bilinear_gather(x[img].reshape(h * w, c), h, w, ys, xs)
+        fb = jnp.where(need[..., None], fb, 0.0).astype(x.dtype)
+        corr = jax.lax.dot_general(
+            fb.reshape(cap, k * c), wmat,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        flat = out.reshape(ho * wo, cout).astype(f32)
+        flat = flat.at[idx].add(corr)
+        outs.append(flat.reshape(ho, wo, cout))
+    return jnp.stack(outs).astype(x.dtype)

@@ -83,6 +83,26 @@ def probe_and_gate(verbose: bool = True) -> dict:
 
     probe("pyramid_builder", "HTD_XLA_PYRAMID", pyr)
 
+    if os.environ.get("HTD_DCN_IMPL", "") in ("", "pallas"):
+        # the fused windowed DCN kernel (default on TPU); on failure fall
+        # back to the gather formulation
+        def dcn():
+            from htd_tpu.ops.dcn_pallas import dcn_conv_windowed
+
+            x = jnp.asarray(
+                rng.normal(0, 1, (1, 16, 20, 128)).astype(np.float32))
+            w = jnp.asarray(
+                rng.normal(0, 0.1, (3, 3, 128, 128)).astype(np.float32))
+            off = jnp.asarray(
+                rng.normal(0, 0.3, (1, 16, 20, 18)).astype(np.float32))
+            return jax.jit(
+                lambda a, b, c: dcn_conv_windowed(a, b, c, 1, 1, 1, 32)
+            )(x, off, w)
+
+        probe("dcn_windowed", "HTD_DCN_IMPL_GATHER", dcn)
+        if results.get("dcn_windowed") != "ok":
+            os.environ["HTD_DCN_IMPL"] = "gather"
+
     if os.environ.get("HTD_V4_PACKED", "0") == "1":
 
         def packed():

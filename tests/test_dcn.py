@@ -2,7 +2,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from htd_tpu.ops.dcn import deform_conv2d
+from htd_tpu.ops.dcn import _dcn_xla_impl, deform_conv2d
 
 
 def np_deform_conv(x_nhwc, offsets, weight, stride=1, dilation=1):
@@ -101,3 +101,124 @@ def test_stride2(rng):
     )
     ref = np_deform_conv(x, off, wgt, stride=2)
     np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-4)
+
+
+def test_window_equals_corner_path(rng, monkeypatch):
+    """HTD_DCN_IMPL=window (shifted-view select-MAC + capped gather
+    fallback) is bit-identical to the 4-corner gather path in f32 across
+    offset regimes: in-window, fallback-heavy, mostly-outside, grouped,
+    and stride 2."""
+    x = rng.normal(0, 1, (2, 9, 8, 4)).astype(np.float32)
+    wgt = rng.normal(0, 0.5, (3, 3, 4, 6)).astype(np.float32)
+    for dg, scale, stride, m in (
+        (1, 0.3, 1, 1),   # all in-window at m=1
+        (1, 2.5, 1, 1),   # heavy fallback
+        (1, 30.0, 1, 2),  # mostly outside the image
+        (2, 2.0, 1, 1),   # deform groups
+        (1, 2.0, 2, 1),   # strided (stage-entry DCN blocks)
+    ):
+        ho = 9 if stride == 1 else 5
+        wo = 8 if stride == 1 else 4
+        off = rng.normal(0, scale, (2, ho, wo, dg * 18)).astype(np.float32)
+        monkeypatch.setenv("HTD_DCN_IMPL", "gather")
+        corner = np.asarray(deform_conv2d(
+            jnp.asarray(x), jnp.asarray(off), jnp.asarray(wgt),
+            stride=stride, deform_groups=dg))
+        monkeypatch.setenv("HTD_DCN_IMPL", "window")
+        monkeypatch.setenv("HTD_DCN_WINDOW_M", str(m))
+        win = np.asarray(deform_conv2d(
+            jnp.asarray(x), jnp.asarray(off), jnp.asarray(wgt),
+            stride=stride, deform_groups=dg))
+        np.testing.assert_array_equal(win, corner)
+
+
+def test_window_bf16_matches_gather_bf16(rng, monkeypatch):
+    """bf16 feature path: windowed and gather samplers share the same
+    per-corner products and accumulation order, so they agree to bf16
+    rounding on the conv output."""
+    x = rng.normal(0, 1, (1, 9, 8, 4)).astype(np.float32)
+    wgt = rng.normal(0, 0.5, (3, 3, 4, 6)).astype(np.float32)
+    off = rng.normal(0, 1.5, (1, 9, 8, 18)).astype(np.float32)
+    args = (jnp.asarray(x, jnp.bfloat16), jnp.asarray(off, jnp.bfloat16),
+            jnp.asarray(wgt, jnp.bfloat16))
+    monkeypatch.setenv("HTD_DCN_IMPL", "gather")
+    corner = np.asarray(deform_conv2d(*args).astype(jnp.float32))
+    monkeypatch.setenv("HTD_DCN_IMPL", "window")
+    win = np.asarray(deform_conv2d(*args).astype(jnp.float32))
+    np.testing.assert_allclose(win, corner, rtol=2e-2, atol=2e-2)
+
+
+def test_window_grads_match_gather(rng, monkeypatch):
+    """The windowed path autodiffs: grads w.r.t. input, offsets and weight
+    match the gather formulation's grads (same math, shifted-view form)."""
+    import jax
+
+    x = jnp.asarray(rng.normal(0, 1, (1, 7, 6, 3)).astype(np.float32))
+    wgt = jnp.asarray(rng.normal(0, 0.5, (3, 3, 3, 4)).astype(np.float32))
+    off = jnp.asarray(rng.normal(0, 1.0, (1, 7, 6, 18)).astype(np.float32))
+
+    def loss_fn(x_, off_, wgt_):
+        return jnp.sum(jnp.sin(deform_conv2d(x_, off_, wgt_)))
+
+    monkeypatch.setenv("HTD_DCN_IMPL", "gather")
+    g_ref = jax.grad(loss_fn, argnums=(0, 1, 2))(x, off, wgt)
+    monkeypatch.setenv("HTD_DCN_IMPL", "window")
+    g_win = jax.grad(loss_fn, argnums=(0, 1, 2))(x, off, wgt)
+    for a, b in zip(g_win, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_kernel_matches_gather(rng, monkeypatch):
+    """The fused windowed Pallas kernel (interpret mode) + capped
+    correction matches the gather formulation, including fallback-heavy
+    offsets and the conv contraction."""
+    import jax
+
+    from htd_tpu.ops import dcn_pallas
+
+    monkeypatch.setattr(dcn_pallas, "_INTERPRET", True)
+    x = jnp.asarray(rng.normal(0, 1, (2, 11, 13, 8)).astype(np.float32))
+    wgt = jnp.asarray(rng.normal(0, 0.5, (3, 3, 8, 16)).astype(np.float32))
+    with jax.default_matmul_precision("highest"):
+        for scale, cap in ((0.3, 8), (2.5, 256), (30.0, 256)):
+            off = jnp.asarray(
+                rng.normal(0, scale, (2, 11, 13, 18)).astype(np.float32))
+            ref = np.asarray(_dcn_xla_impl(
+                x, off, wgt, 1, 1, 1, "gather", 1, cap))
+            out = np.asarray(dcn_pallas.dcn_conv_windowed(
+                x, off, wgt, pad=1, dilation=1, m=1, cap=cap))
+            np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_custom_vjp_grads(rng, monkeypatch):
+    """The pallas-path custom_vjp routes gradients through the gather
+    formulation; check against gather-impl autodiff."""
+    import jax
+
+    from htd_tpu.ops import dcn_pallas
+    from htd_tpu.ops.dcn import _pallas_dcn_fn
+
+    monkeypatch.setattr(dcn_pallas, "_INTERPRET", True)
+    _pallas_dcn_fn.cache_clear()
+    x = jnp.asarray(rng.normal(0, 1, (1, 9, 10, 4)).astype(np.float32))
+    wgt = jnp.asarray(rng.normal(0, 0.5, (3, 3, 4, 8)).astype(np.float32))
+    off = jnp.asarray(rng.normal(0, 1.0, (1, 9, 10, 18)).astype(np.float32))
+
+    # cap = every pixel: the capacity approximation must not engage here,
+    # since the sin-loss cotangent depends on the forward value
+    fn = _pallas_dcn_fn(1, 1, 1, 90)
+
+    def loss_p(x_, off_, wgt_):
+        return jnp.sum(jnp.sin(fn(x_, off_, wgt_)))
+
+    def loss_g(x_, off_, wgt_):
+        return jnp.sum(jnp.sin(_dcn_xla_impl(
+            x_, off_, wgt_, 1, 1, 1, "gather", 1, 90)))
+
+    with jax.default_matmul_precision("highest"):
+        g_p = jax.grad(loss_p, argnums=(0, 1, 2))(x, off, wgt)
+        g_r = jax.grad(loss_g, argnums=(0, 1, 2))(x, off, wgt)
+    for a, b in zip(g_p, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
