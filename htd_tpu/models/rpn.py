@@ -63,19 +63,45 @@ class RPNHead(nn.Module):
                 kernel_init=nn.initializers.normal(0.01), dtype=self.dtype,
                 name="rpn_conv",
             )
-        cls = nn.Conv(
-            self.num_anchors, (1, 1),
-            kernel_init=nn.initializers.normal(0.01), dtype=self.dtype, name="rpn_cls",
+        fused_1x1 = (
+            jax.default_backend() != "cpu"
+            and os.environ.get("HTD_RPN_FUSED_1X1", "1") == "1"
         )
-        reg = nn.Conv(
-            self.num_anchors * 4, (1, 1),
-            kernel_init=nn.initializers.normal(0.01), dtype=self.dtype, name="rpn_reg",
-        )
+        if fused_1x1:
+            # ONE (C, A+4A) flat matmul for both 1x1 heads: as separate
+            # narrow convs XLA fused each with its consumer (cls with the
+            # top-k prep, reg with the box decode) and ran them as
+            # lane-starved conv emitters (P2 reg fusion 0.62 ms, cls
+            # 0.23 ms, xplane 2026-08-19); a (H*W, 256) @ (256, 15) dot
+            # pays the 128-lane tile once for both. Params keep nn.Conv's
+            # exact tree ((1,1,C,F) 'kernel' + 'bias' under rpn_cls /
+            # rpn_reg), so checkpoints are unchanged. HTD_RPN_FUSED_1X1=0
+            # reverts.
+            ck, cb = _Conv1x1Params(
+                self.num_anchors, self.feat_channels,
+                kernel_init=nn.initializers.normal(0.01), name="rpn_cls",
+            )()
+            rk, rb = _Conv1x1Params(
+                self.num_anchors * 4, self.feat_channels,
+                kernel_init=nn.initializers.normal(0.01), name="rpn_reg",
+            )()
+            wk = jnp.concatenate([ck[0, 0], rk[0, 0]], axis=-1).astype(self.dtype)
+            wb = jnp.concatenate([cb, rb]).astype(self.dtype)
+        else:
+            cls = nn.Conv(
+                self.num_anchors, (1, 1),
+                kernel_init=nn.initializers.normal(0.01), dtype=self.dtype, name="rpn_cls",
+            )
+            reg = nn.Conv(
+                self.num_anchors * 4, (1, 1),
+                kernel_init=nn.initializers.normal(0.01), dtype=self.dtype, name="rpn_reg",
+            )
         fence = (
             jax.default_backend() != "cpu"
             and os.environ.get("HTD_RPN_FENCE", "0") == "1"
         )
         scores, deltas = [], []
+        a = self.num_anchors
         for f in feats:
             if fence:
                 # pin the shared FPN output row-major at the RPN boundary so
@@ -86,9 +112,36 @@ class RPNHead(nn.Module):
 
                 f = layout_fence(f)
             t = nn.relu(conv(f))
-            scores.append(cls(t))
-            deltas.append(reg(t))
+            if fused_1x1:
+                o = t.reshape(-1, self.feat_channels) @ wk + wb
+                o = o.reshape(t.shape[:-1] + (a * 5,))
+                scores.append(o[..., :a])
+                deltas.append(o[..., a:])
+            else:
+                scores.append(cls(t))
+                deltas.append(reg(t))
         return scores, deltas
+
+
+class _Conv1x1Params(nn.Module):
+    """Parameter-only twin of a 1x1 nn.Conv: declares the same 'kernel' /
+    'bias' tree (so checkpoints round-trip) without choosing the compute
+    schedule — RPNHead contracts both heads in one flat matmul."""
+
+    features: int
+    in_features: int
+    kernel_init: Any = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", self.kernel_init,
+            (1, 1, self.in_features, self.features), jnp.float32,
+        )
+        b = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        return k, b
 
 
 def gen_proposals_single(

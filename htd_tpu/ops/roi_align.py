@@ -167,6 +167,31 @@ def _roi_align_core(
     wy = wy.reshape(r, oh, k)
     wx = wx.reshape(r, ow, k)
 
+    if s == 1 and os.environ.get("HTD_BA_S1_FAST", "0") == "1":
+        # 1x1-grid corner-gather path (the BA extractor's off-target
+        # levels): four separate corner gathers + an elementwise weighted
+        # sum instead of the batched K*K dot, keeping every tensor in flat
+        # (rows, C) T(8,128) form. Opt-in, default OFF: the trace showed a
+        # 0.33 ms/level relayout on the dot path, but the on-chip A/B
+        # (2026-08-19, PERF.md round 3d) measured the corner-gather form
+        # 0.75 img/s SLOWER end-to-end — 4x the gather rows cost more than
+        # the relayout (same lesson as the quad-gather experiments).
+        # count == 1 here (grid_h = grid_w in {0, 1} => max(g*g, 1) == 1),
+        # so no average divide is needed.
+        acc = _interp_acc_dtype(feat_flat.dtype)
+        row = iy * w_row[:, None, None] + base[:, None, None]  # (R, oh, 2)
+        out = None
+        for cy in range(2):
+            for cx in range(2):
+                w_c = (wy[:, :, cy][:, :, None] * wx[:, None, :, cx]).astype(acc)
+                idx_c = row[:, :, cy][:, :, None] + ix_t[:, None, :, cx]
+                v_c = jnp.take(
+                    feat_flat, idx_c.reshape(-1), axis=0, mode="clip"
+                ).astype(acc)
+                term = v_c * w_c.reshape(-1, 1)
+                out = term if out is None else out + term
+        return out.reshape(r, oh, ow, c).astype(feat_flat.dtype)
+
     def by(a):  # (R, oh, K) -> (R, oh, 1, K, 1)
         return a[:, :, None, :, None]
 

@@ -1166,7 +1166,7 @@ V4_RES_H = V4_Y_STRIPE * V4_N_Y   # 80
 V4_RES_W = V4_X_BLOCK * V4_N_X    # 192
 
 
-def _v4_call_packed(pyr_t, ay, ax, ybin_b, xbin_b, roi_slot, slot_ovf,
+def _v4_call_packed(pyr_t, ay, ax, ybin_b, xbin_b, occ_i, roi_slot, slot_ovf,
                     *, n_bins, slots, out_size, c, dt, w_pad, rows_pad,
                     interpret):
     """Packed-2D variant of the v4 bin-tile kernel (HTD_V4_PACKED=1).
@@ -1196,32 +1196,35 @@ def _v4_call_packed(pyr_t, ay, ax, ybin_b, xbin_b, roi_slot, slot_ovf,
     )
     pyr_p = pyr_t.reshape(w_pad, rows_pad * c)
 
-    def kernel(ybin_ref, xbin_ref, ay_ref, ax_ref, *refs):
+    def kernel(ybin_ref, xbin_ref, occ_ref, ay_ref, ax_ref, *refs):
         del ybin_ref, xbin_ref
         blocks = refs[: V4_N_Y * V4_N_X]
         out_ref = refs[V4_N_Y * V4_N_X]
-        ax_m = ax_ref[0]  # (K*7, 192)
-        acc = jnp.zeros((slots * out_size, out_size * c), f32)
-        for ky in range(V4_N_Y):
-            u = None
-            for kx in range(V4_N_X):
-                axk = ax_m[:, kx * V4_X_BLOCK:(kx + 1) * V4_X_BLOCK]
-                t = jnp.dot(
-                    axk, blocks[kx * V4_N_Y + ky][:],
-                    preferred_element_type=f32,
-                )  # (K*7x, 16*C)
-                u = t if u is None else u + t
-            # rows (k, x), lanes (h, c) -> rows (k, h), lanes (x, c)
-            v = u.astype(dt).reshape(slots, out_size, V4_Y_STRIPE, c)
-            v = jnp.swapaxes(v, 1, 2).reshape(
-                slots * V4_Y_STRIPE, out_size * c
-            )
-            acc = acc + jnp.dot(
-                ay_ref[0, ky], v, preferred_element_type=f32
-            )
-        out_ref[0] = acc.reshape(
-            slots, out_size, out_size, c
-        ).astype(out_ref.dtype)
+
+        @pl.when(occ_ref[pl.program_id(0)] > 0)
+        def _process():
+            ax_m = ax_ref[0]  # (K*7, 192)
+            acc = jnp.zeros((slots * out_size, out_size * c), f32)
+            for ky in range(V4_N_Y):
+                u = None
+                for kx in range(V4_N_X):
+                    axk = ax_m[:, kx * V4_X_BLOCK:(kx + 1) * V4_X_BLOCK]
+                    t = jnp.dot(
+                        axk, blocks[kx * V4_N_Y + ky][:],
+                        preferred_element_type=f32,
+                    )  # (K*7x, 16*C)
+                    u = t if u is None else u + t
+                # rows (k, x), lanes (h, c) -> rows (k, h), lanes (x, c)
+                v = u.astype(dt).reshape(slots, out_size, V4_Y_STRIPE, c)
+                v = jnp.swapaxes(v, 1, 2).reshape(
+                    slots * V4_Y_STRIPE, out_size * c
+                )
+                acc = acc + jnp.dot(
+                    ay_ref[0, ky], v, preferred_element_type=f32
+                )
+            out_ref[0] = acc.reshape(
+                slots, out_size, out_size, c
+            ).astype(out_ref.dtype)
 
     block_specs = []
     for kx in range(V4_N_X):
@@ -1230,7 +1233,8 @@ def _v4_call_packed(pyr_t, ay, ax, ybin_b, xbin_b, roi_slot, slot_ovf,
                 pl.BlockSpec(
                     (V4_X_BLOCK, V4_Y_STRIPE * c),
                     functools.partial(
-                        lambda i, yb, xb, ky, kx: (xb[i] + kx, yb[i] + ky),
+                        lambda i, yb, xb, occ, ky, kx:
+                            (xb[i] + kx, yb[i] + ky),
                         ky=ky, kx=kx,
                     ),
                     memory_space=pltpu.VMEM,
@@ -1238,24 +1242,24 @@ def _v4_call_packed(pyr_t, ay, ax, ybin_b, xbin_b, roi_slot, slot_ovf,
             )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_bins,),
         in_specs=[
             pl.BlockSpec(
                 (1, V4_N_Y, slots * out_size, slots * V4_Y_STRIPE),
-                lambda i, yb, xb: (i, 0, 0, 0),
+                lambda i, yb, xb, occ: (i, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, slots * out_size, V4_RES_W),
-                lambda i, yb, xb: (i, 0, 0),
+                lambda i, yb, xb, occ: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ]
         + block_specs,
         out_specs=pl.BlockSpec(
             (1, slots, out_size, out_size, c),
-            lambda i, yb, xb: (i, 0, 0, 0, 0),
+            lambda i, yb, xb, occ: (i, 0, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
     )
@@ -1270,7 +1274,7 @@ def _v4_call_packed(pyr_t, ay, ax, ybin_b, xbin_b, roi_slot, slot_ovf,
             vmem_limit_bytes=80 * 1024 * 1024
         ),
         interpret=interpret,
-    )(ybin_b, xbin_b, ay_p, ax, *([pyr_p] * (V4_N_Y * V4_N_X)))
+    )(ybin_b, xbin_b, occ_i, ay_p, ax, *([pyr_p] * (V4_N_Y * V4_N_X)))
 
     flat = slot_out.reshape(n_bins * slots, out_size, out_size, c)
     flat = jnp.concatenate(
@@ -1503,45 +1507,71 @@ def roi_align_pallas_v4(
     if pyr_t is None:
         pyr_t = jnp.swapaxes(pyr, 0, 1)
 
+    # EMPTY-BIN SKIP: bins holding no valid roi (pad rows, sparsely
+    # populated levels — invalid rois go to the trash slot and never claim
+    # bins) skip both compute (@pl.when on a prefetched occupancy flag) and
+    # DMA (their block coords are remapped to the PREVIOUS active bin's, so
+    # consecutive index-map outputs repeat and the pipeline refetches
+    # nothing). Their output block keeps stale/uninitialized VMEM content —
+    # harmless: slot_roi never points into an empty bin, so those rows are
+    # never gathered. HTD_V4_SKIP_EMPTY=0 reverts.
+    skip_empty = os.environ.get("HTD_V4_SKIP_EMPTY", "1") == "1"
+    occ_b = (slot_roi[: n_bins * slots].reshape(n_bins, slots) < r).any(axis=1)
+    if skip_empty:
+        idxs = jnp.arange(n_bins, dtype=jnp.int32)
+        last_act = jax.lax.cummax(jnp.where(occ_b, idxs, -1))
+        binsel = jnp.maximum(last_act, 0)
+        ybin_k = ybin_b[binsel]
+        xbin_k = xbin_b[binsel]
+        occ_i = occ_b.astype(jnp.int32)
+    else:
+        ybin_k, xbin_k = ybin_b, xbin_b
+        occ_i = jnp.ones((n_bins,), jnp.int32)
+
     use_packed = os.environ.get("HTD_V4_PACKED", "0") == "1"
     run_interp = interpret or _FORCE_KERNEL_INTERPRET
     if use_packed:
         return _v4_call_packed(
-            pyr_t, ay, ax, ybin_b, xbin_b, roi_slot, slot_ovf,
+            pyr_t, ay, ax, ybin_k, xbin_k, occ_i, roi_slot, slot_ovf,
             n_bins=n_bins, slots=slots, out_size=out_size, c=c, dt=dt,
             w_pad=w_pad, rows_pad=rows_pad, interpret=run_interp,
         )
 
-    def kernel(ybin_ref, xbin_ref, ay_ref, ax_ref, *refs):
+    def kernel(ybin_ref, xbin_ref, occ_ref, ay_ref, ax_ref, *refs):
         del ybin_ref, xbin_ref
         blocks = refs[: V4_N_Y * V4_N_X]
         out_ref = refs[V4_N_Y * V4_N_X]
-        ay_bd = ay_ref[0]  # (K*7, K*RES_H) block-diagonal
-        ax_m = ax_ref[0]   # (K*7, RES_W)
 
-        # assemble the x-major (RES_W, RES_H, C) resident region
-        cols = []
-        for kx in range(V4_N_X):
-            cols.append(jnp.concatenate(
-                [blocks[kx * V4_N_Y + ky][:] for ky in range(V4_N_Y)], axis=1
-            ))
-        wt = jnp.concatenate(cols, axis=0)  # (192, 80, C)
+        @pl.when(occ_ref[pl.program_id(0)] > 0)
+        def _process():
+            ay_bd = ay_ref[0]  # (K*7, K*RES_H) block-diagonal
+            ax_m = ax_ref[0]   # (K*7, RES_W)
 
-        # stage A (x contract, shared resident): (K*7x, W) @ (W, H*C)
-        u = jnp.dot(
-            ax_m, wt.reshape(V4_RES_W, V4_RES_H * c),
-            preferred_element_type=f32,
-        ).astype(dt)  # (K*7x, H*C)
-        # stage B (y contract, per-slot): block-diag (K*7y, K*H) @ (K*H, 7x*C)
-        u4 = u.reshape(slots, out_size, V4_RES_H, c)
-        u4 = jnp.swapaxes(u4, 1, 2)  # (K, H, 7x, C)
-        out = jnp.dot(
-            ay_bd, u4.reshape(slots * V4_RES_H, out_size * c),
-            preferred_element_type=f32,
-        )  # (K*7y, 7x*C) — rows (k, y), cols (x, c): final order directly
-        out_ref[0] = out.reshape(
-            slots, out_size, out_size, c
-        ).astype(out_ref.dtype)
+            # assemble the x-major (RES_W, RES_H, C) resident region
+            cols = []
+            for kx in range(V4_N_X):
+                cols.append(jnp.concatenate(
+                    [blocks[kx * V4_N_Y + ky][:] for ky in range(V4_N_Y)],
+                    axis=1,
+                ))
+            wt = jnp.concatenate(cols, axis=0)  # (192, 80, C)
+
+            # stage A (x contract, shared resident): (K*7x, W) @ (W, H*C)
+            u = jnp.dot(
+                ax_m, wt.reshape(V4_RES_W, V4_RES_H * c),
+                preferred_element_type=f32,
+            ).astype(dt)  # (K*7x, H*C)
+            # stage B (y contract, per-slot): block-diag (K*7y, K*H) @
+            # (K*H, 7x*C)
+            u4 = u.reshape(slots, out_size, V4_RES_H, c)
+            u4 = jnp.swapaxes(u4, 1, 2)  # (K, H, 7x, C)
+            out = jnp.dot(
+                ay_bd, u4.reshape(slots * V4_RES_H, out_size * c),
+                preferred_element_type=f32,
+            )  # (K*7y, 7x*C) — rows (k, y), cols (x, c): final order directly
+            out_ref[0] = out.reshape(
+                slots, out_size, out_size, c
+            ).astype(out_ref.dtype)
 
     block_specs = []
     for kx in range(V4_N_X):
@@ -1550,7 +1580,8 @@ def roi_align_pallas_v4(
                 pl.BlockSpec(
                     (V4_X_BLOCK, V4_Y_STRIPE, c),
                     functools.partial(
-                        lambda i, yb, xb, ky, kx: (xb[i] + kx, yb[i] + ky, 0),
+                        lambda i, yb, xb, occ, ky, kx:
+                            (xb[i] + kx, yb[i] + ky, 0),
                         ky=ky, kx=kx,
                     ),
                     memory_space=pltpu.VMEM,
@@ -1558,20 +1589,20 @@ def roi_align_pallas_v4(
             )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_bins,),
         in_specs=[
             pl.BlockSpec((1, slots * out_size, slots * V4_RES_H),
-                         lambda i, yb, xb: (i, 0, 0),
+                         lambda i, yb, xb, occ: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, slots * out_size, V4_RES_W),
-                         lambda i, yb, xb: (i, 0, 0),
+                         lambda i, yb, xb, occ: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
         + block_specs,
         out_specs=pl.BlockSpec(
             (1, slots, out_size, out_size, c),
-            lambda i, yb, xb: (i, 0, 0, 0, 0),
+            lambda i, yb, xb, occ: (i, 0, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
     )
@@ -1589,7 +1620,7 @@ def roi_align_pallas_v4(
             vmem_limit_bytes=80 * 1024 * 1024
         ),
         interpret=run_interp,
-    )(ybin_b, xbin_b, ay_bd, ax, *([pyr_t] * (V4_N_Y * V4_N_X)))
+    )(ybin_k, xbin_k, occ_i, ay_bd, ax, *([pyr_t] * (V4_N_Y * V4_N_X)))
 
     flat = slot_out.reshape(n_bins * slots, out_size, out_size, c)
     flat = jnp.concatenate(

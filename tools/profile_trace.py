@@ -48,8 +48,10 @@ def parse_xplane(logdir, top=40, min_us=20.0, substr=None):
         ev_names = plane.event_metadata
         for line in plane.lines:
             lname = line.name
-            # XLA Ops / XLA Modules lines carry the per-op events
-            if "XLA Ops" not in lname and "XLA TraceMe" not in lname:
+            # The synchronous 'XLA Ops' line is the core's serial timeline.
+            # 'Async XLA Ops' (DMA engine, overlaps compute) must NOT be
+            # summed with it — substring match on 'XLA Ops' caught it too.
+            if lname != "XLA Ops":
                 continue
             for ev in line.events:
                 name = ev_names[ev.metadata_id].name
