@@ -11,7 +11,7 @@ interpolated precision averaged over IoU 0.50:0.95, area ranges
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -170,6 +170,78 @@ def _accumulate(per_img: List[List[_ImgCatEval]], max_dets: int) -> np.ndarray:
         q[valid] = precision[inds[valid]]
         ap[ti] = q.mean()
     return ap
+
+
+def _accumulate_curve(
+    per_img: List[List[_ImgCatEval]], max_dets: int, iou_thrs: np.ndarray
+) -> np.ndarray:
+    """-> (T, R) precision at REC_THRS for one (cat, area) cell; -1 if no gt
+    (pycocotools eval['precision'] fill convention)."""
+    t = len(iou_thrs)
+    curves = np.full((t, len(REC_THRS)), -1.0)
+    if not per_img:
+        return curves
+    for ti in range(t):
+        evals = [e[ti] for e in per_img]
+        scores = np.concatenate([e.dt_scores[:max_dets] for e in evals])
+        matched = np.concatenate([e.dt_matched[:max_dets] for e in evals])
+        ignored = np.concatenate([e.dt_ignore[:max_dets] for e in evals])
+        num_gt = sum(e.num_gt for e in evals)
+        if num_gt == 0:
+            continue
+        order = np.argsort(-scores, kind="mergesort")
+        matched = matched[order]
+        ignored = ignored[order]
+        keep = ~ignored
+        tp = np.cumsum(matched[keep])
+        fp = np.cumsum(~matched[keep])
+        recall = tp / num_gt
+        precision = tp / np.maximum(tp + fp, 1e-12)
+        for i in range(len(precision) - 1, 0, -1):
+            precision[i - 1] = max(precision[i - 1], precision[i])
+        inds = np.searchsorted(recall, REC_THRS, side="left")
+        q = np.zeros(len(REC_THRS))
+        valid = inds < len(precision)
+        q[valid] = precision[inds[valid]]
+        curves[ti] = q
+    return curves
+
+
+def precision_curves(
+    detections: Dict[int, Tuple[np.ndarray, np.ndarray, np.ndarray]],
+    groundtruth: Dict[int, Tuple[np.ndarray, np.ndarray, np.ndarray]],
+    cats: Sequence[int],
+    iou_thrs: Optional[np.ndarray] = None,
+    max_dets: int = 100,
+) -> np.ndarray:
+    """Precision-recall curves per (iou_thr, cat, area).
+
+    Returns (T, R=101, K=len(cats), A=4) with areas ordered
+    (all, small, medium, large) — the layout of pycocotools
+    eval['precision'][..., m] that tools/coco_error_analysis.py consumes;
+    cells with no ground truth hold -1. Same matching core as
+    evaluate_coco_map."""
+    thrs = IOU_THRS if iou_thrs is None else np.asarray(iou_thrs, np.float64)
+    img_ids = sorted(groundtruth.keys())
+    out = np.full((len(thrs), len(REC_THRS), len(cats), len(AREA_RANGES)), -1.0)
+    for ki, cat in enumerate(cats):
+        for ai, (name, rng_) in enumerate(AREA_RANGES.items()):
+            per_img: List[List[_ImgCatEval]] = []
+            for img in img_ids:
+                gb, gl, gc = groundtruth[img]
+                sel_g = gl == cat
+                db, ds, dl = detections.get(
+                    img, (np.zeros((0, 4)), np.zeros(0), np.zeros(0))
+                )
+                sel_d = dl == cat
+                ev = _evaluate_img_cat(
+                    db[sel_d], ds[sel_d], gb[sel_g], gc[sel_g].astype(bool),
+                    rng_, thrs,
+                )
+                if ev is not None:
+                    per_img.append(ev)
+            out[:, :, ki, ai] = _accumulate_curve(per_img, max_dets, thrs)
+    return out
 
 
 def evaluate_coco_map(
