@@ -1287,14 +1287,27 @@ V4_COVER_W = V4_RES_W - V4_X_BLOCK - 2
 
 
 def _v4_bin_rois(start_h, start_w, hs, ws, row_off, n_ybins, n_xbins, slots,
-                 roi_valid=None):
+                 roi_valid=None, n_spill=0):
     """Assign each roi to a spatial bin and a slot within it.
 
-    Returns (ybin, xbin, roi_slot, slot_roi, slot_overflow):
-      * roi_slot (R,): each roi's flat slot in [0, n_bins*slots] (== trash
-        when the roi overflowed its bin's capacity);
-      * slot_roi (n_bins*slots + 1,): each slot's roi index (R = empty);
-      * slot_overflow (R,) bool.
+    Returns (ybin, xbin, roi_slot, slot_roi, slot_overflow, spill_parent):
+      * roi_slot (R,): each roi's flat slot in [0, (n_bins+n_spill)*slots]
+        (== trash when the roi overflowed every capacity);
+      * slot_roi ((n_bins+n_spill)*slots + 1,): each slot's roi index
+        (R = empty);
+      * slot_overflow (R,) bool;
+      * spill_parent (n_spill,) int32: the REAL bin id each spill bin
+        duplicates (0 for unused spill bins).
+
+    Spill bins (n_spill > 0): a roi ranked beyond `slots` in its bin is
+    assigned to a virtual duplicate of that bin appended after the real
+    ones — same DMA window coordinates, fresh slot rows. Spill bins are
+    allocated densely in sorted order, one per (bin, round) pair, so with
+    n_spill >= ceil(R/slots) slot overflow is IMPOSSIBLE (each spill round
+    holds >= 1 roi). This keeps crowded-proposal images (e.g. >24 NMS
+    proposals landing in one 56x128 px window — 274/995 rois on the noise
+    bench input) inside the kernel instead of the per-roi gather fallback,
+    which silently zero-filled rois beyond its fixed cap.
 
     roi_valid (R,) bool, optional: invalid rois (e.g. the zero-box padding
     of a fixed-capacity proposal array) go straight to the trash slot — they
@@ -1318,21 +1331,48 @@ def _v4_bin_rois(start_h, start_w, hs, ws, row_off, n_ybins, n_xbins, slots,
         # invalid rois sort into a virtual bin past every real one
         bin_id = jnp.where(roi_valid, bin_id, n_bins)
 
+    n_all = n_bins + n_spill
     order = jnp.argsort(bin_id)          # stable
     sb = bin_id[order]
     first = jnp.searchsorted(sb, sb, side="left")
     rank = jnp.arange(r, dtype=jnp.int32) - first.astype(jnp.int32)
-    ok = (rank < slots) & (sb < n_bins)
-    flat_slot = jnp.where(ok, sb * slots + rank, n_bins * slots)
-    slot_roi = jnp.full((n_bins * slots + 1,), r, jnp.int32)
+    real = sb < n_bins
+    ok = (rank < slots) & real
+    flat_slot = jnp.where(ok, sb * slots + rank, n_all * slots)
+    if n_spill > 0:
+        # dense spill-bin allocation in sorted order: one spill bin per
+        # (bin, round>0) pair; a spill roi's round start is the most
+        # recent start before it (same contiguous bin group), so the
+        # running count of starts indexes its spill bin directly.
+        is_spill = (rank >= slots) & real
+        is_start = is_spill & (rank % slots == 0)
+        sp_idx = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+        ok_spill = is_spill & (sp_idx < n_spill)
+        flat_slot = jnp.where(
+            ok_spill, (n_bins + sp_idx) * slots + rank % slots, flat_slot
+        )
+        # parent bin id of each spill bin (scatter from the round starts;
+        # out-of-capacity starts land on a discarded extra row)
+        scatter_to = jnp.where(
+            is_start & (sp_idx < n_spill), sp_idx, n_spill
+        )
+        spill_parent = (
+            jnp.zeros((n_spill + 1,), jnp.int32)
+            .at[scatter_to].set(sb.astype(jnp.int32))[:n_spill]
+        )
+        ovf_sorted = is_spill & ~ok_spill
+    else:
+        spill_parent = jnp.zeros((0,), jnp.int32)
+        ovf_sorted = ~ok & real
+    slot_roi = jnp.full((n_all * slots + 1,), r, jnp.int32)
     slot_roi = slot_roi.at[flat_slot].set(order.astype(jnp.int32))
     # trash slot may have been claimed by an overflowed roi; reset it
-    slot_roi = slot_roi.at[n_bins * slots].set(r)
+    slot_roi = slot_roi.at[n_all * slots].set(r)
     roi_slot = jnp.zeros((r,), jnp.int32).at[order].set(
         flat_slot.astype(jnp.int32)
     )
-    overflow = jnp.zeros((r,), bool).at[order].set(~ok & (sb < n_bins))
-    return ybin, xbin, roi_slot, slot_roi, overflow
+    overflow = jnp.zeros((r,), bool).at[order].set(ovf_sorted)
+    return ybin, xbin, roi_slot, slot_roi, overflow, spill_parent
 
 
 def roi_align_pallas_v4(
@@ -1421,19 +1461,31 @@ def roi_align_pallas_v4(
     if img_idx is not None:
         row_off = row_off + img_idx.astype(f32) * float(img_rows)
 
-    ybin_r, xbin_r, roi_slot, slot_roi, slot_ovf = _v4_bin_rois(
+    # Spill bins (HTD_V4_SPILL=0 reverts): n_spill = ceil(R/slots) virtual
+    # duplicate bins make slot overflow impossible (see _v4_bin_rois) —
+    # crowded images stay in-kernel instead of the gather fallback, whose
+    # fixed cap silently zero-filled rois beyond it.
+    n_spill = (
+        (r + slots - 1) // slots
+        if os.environ.get("HTD_V4_SPILL", "1") == "1"
+        else 0
+    )
+    n_all = n_bins + n_spill
+
+    ybin_r, xbin_r, roi_slot, slot_roi, slot_ovf, spill_parent = _v4_bin_rois(
         start_h, start_w, hs, ws, row_off, n_ybins, n_xbins, slots,
-        roi_valid=roi_valid,
+        roi_valid=roi_valid, n_spill=n_spill,
     )
 
-    # per-bin block coordinates for the index maps
+    # per-bin block coordinates for the index maps (spill bins duplicate
+    # their parent's window coordinates)
     bins = jnp.arange(n_bins, dtype=jnp.int32)
-    ybin_b = bins // n_xbins
-    xbin_b = bins % n_xbins
+    ybin_b = jnp.concatenate([bins // n_xbins, spill_parent // n_xbins])
+    xbin_b = jnp.concatenate([bins % n_xbins, spill_parent % n_xbins])
 
     # per-slot params, gathered in slot order
-    take = jnp.minimum(slot_roi[: n_bins * slots], r - 1)
-    valid = (slot_roi[: n_bins * slots] < r).astype(f32)
+    take = jnp.minimum(slot_roi[: n_all * slots], r - 1)
+    valid = (slot_roi[: n_all * slots] < r).astype(f32)
     y_origin = (jnp.repeat(ybin_b, slots) * V4_Y_STRIPE).astype(f32) - row_off[take]
     x_origin = (jnp.repeat(xbin_b, slots) * V4_X_BLOCK).astype(f32)
 
@@ -1463,13 +1515,13 @@ def roi_align_pallas_v4(
     eye = jnp.eye(slots, dtype=dt)
     ay_bd = jnp.einsum(
         "nyh,nk->nykh",
-        ay.reshape(n_bins * slots, out_size, V4_RES_H).astype(dt),
-        jnp.tile(eye, (n_bins, 1)),
-    ).reshape(n_bins, slots, out_size, slots, V4_RES_H)
+        ay.reshape(n_all * slots, out_size, V4_RES_H).astype(dt),
+        jnp.tile(eye, (n_all, 1)),
+    ).reshape(n_all, slots, out_size, slots, V4_RES_H)
     ay_bd = ay_bd.reshape(
-        n_bins, slots * out_size, slots * V4_RES_H
+        n_all, slots * out_size, slots * V4_RES_H
     )
-    ax = ax.reshape(n_bins, slots * out_size, V4_RES_W).astype(dt)
+    ax = ax.reshape(n_all, slots * out_size, V4_RES_W).astype(dt)
 
     if (interpret or jax.default_backend() == "cpu") and not _FORCE_KERNEL_INTERPRET:
         # jnp emulation with identical binning/origin math (validates the
@@ -1516,9 +1568,9 @@ def roi_align_pallas_v4(
     # harmless: slot_roi never points into an empty bin, so those rows are
     # never gathered. HTD_V4_SKIP_EMPTY=0 reverts.
     skip_empty = os.environ.get("HTD_V4_SKIP_EMPTY", "1") == "1"
-    occ_b = (slot_roi[: n_bins * slots].reshape(n_bins, slots) < r).any(axis=1)
+    occ_b = (slot_roi[: n_all * slots].reshape(n_all, slots) < r).any(axis=1)
     if skip_empty:
-        idxs = jnp.arange(n_bins, dtype=jnp.int32)
+        idxs = jnp.arange(n_all, dtype=jnp.int32)
         last_act = jax.lax.cummax(jnp.where(occ_b, idxs, -1))
         binsel = jnp.maximum(last_act, 0)
         ybin_k = ybin_b[binsel]
@@ -1526,14 +1578,14 @@ def roi_align_pallas_v4(
         occ_i = occ_b.astype(jnp.int32)
     else:
         ybin_k, xbin_k = ybin_b, xbin_b
-        occ_i = jnp.ones((n_bins,), jnp.int32)
+        occ_i = jnp.ones((n_all,), jnp.int32)
 
     use_packed = os.environ.get("HTD_V4_PACKED", "0") == "1"
     run_interp = interpret or _FORCE_KERNEL_INTERPRET
     if use_packed:
         return _v4_call_packed(
             pyr_t, ay, ax, ybin_k, xbin_k, occ_i, roi_slot, slot_ovf,
-            n_bins=n_bins, slots=slots, out_size=out_size, c=c, dt=dt,
+            n_bins=n_all, slots=slots, out_size=out_size, c=c, dt=dt,
             w_pad=w_pad, rows_pad=rows_pad, interpret=run_interp,
         )
 
@@ -1590,7 +1642,7 @@ def roi_align_pallas_v4(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(n_bins,),
+        grid=(n_all,),
         in_specs=[
             pl.BlockSpec((1, slots * out_size, slots * V4_RES_H),
                          lambda i, yb, xb, occ: (i, 0, 0),
@@ -1611,7 +1663,7 @@ def roi_align_pallas_v4(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (n_bins, slots, out_size, out_size, c), dt
+            (n_all, slots, out_size, out_size, c), dt
         ),
         # scoped VMEM ~35 MB at the default K=24 slots: 10 double-buffered
         # (16, 96, C) bf16 blocks (15.7 MB) + ay/ax blocks + the (K*7, 96C)
@@ -1622,7 +1674,7 @@ def roi_align_pallas_v4(
         interpret=run_interp,
     )(ybin_k, xbin_k, occ_i, ay_bd, ax, *([pyr_t] * (V4_N_Y * V4_N_X)))
 
-    flat = slot_out.reshape(n_bins * slots, out_size, out_size, c)
+    flat = slot_out.reshape(n_all * slots, out_size, out_size, c)
     flat = jnp.concatenate(
         [flat, jnp.zeros((1, out_size, out_size, c), dt)], axis=0
     )
@@ -1700,16 +1752,23 @@ def roi_align_fused_batched(
             )
         overflow = size_ovf
 
-    cap = fallback_cap if fallback_cap is not None else FALLBACK_CAP * b
-    cap = min(cap, b * r)
+    if fallback_cap is not None:
+        cap_full = fallback_cap
+    elif kernel == "v4" and os.environ.get("HTD_V4_SPILL", "1") == "1":
+        # spill bins make slot overflow impossible, so the fallback only
+        # serves SIZE-overflow (elongated) rois — rare, and their kernel
+        # value is a truncated-coverage approximation rather than zeros,
+        # so a smaller per-image budget degrades gracefully.
+        cap_full = int(os.environ.get("HTD_FB_CAP", "32")) * b
+    else:
+        cap_full = FALLBACK_CAP * b
+    cap_full = min(cap_full, b * r)
     # slot-overflow rois carry a ZERO row from the kernel (their bin was
     # full) — they MUST win fallback capacity over size-overflow rois,
     # whose kernel value is merely a truncated-coverage approximation;
     # degenerate (padding) rois never compete at all
     score = jnp.where(slot_ovf, 2.0, 0.0) + jnp.where(size_ovf, 1.0, 0.0)
     score = jnp.where(roi_ok, score, 0.0)
-    top, idx = jax.lax.top_k(score, cap)
-    sel_valid = top > 0.0
     # fallback must respect each roi's image: flat row gather with explicit
     # per-roi (image, level) row offsets
     from htd_tpu.ops import roi_align as _ra
@@ -1718,7 +1777,6 @@ def roi_align_fused_batched(
     hs = np.array([f.shape[1] for f in feats], np.float32)
     ws = np.array([f.shape[2] for f in feats], np.float32)
     sc = np.array([1.0 / s for s in strides], np.float32)
-    lv_sub = flat_lvls[idx]
     if kernel == "v4":
         # gather straight from the SAME width-padded pyramid the v4 kernel
         # streams — the _v4_pyramid call is identical to the one inside
@@ -1733,11 +1791,14 @@ def roi_align_fused_batched(
         lvl_row_offs = np.concatenate(
             [[0], np.cumsum([int(f.shape[1]) for f in feats])]
         )[:-1].astype(np.int32)
-        base_rows = (
-            img_idx[idx] * img_rows_fb + jnp.asarray(lvl_row_offs)[lv_sub]
-        )
-        row_offset = base_rows * w_pad_fb
-        row_stride = jnp.full_like(row_offset, w_pad_fb)
+
+        def make_offsets(idx, lv_sub):
+            base_rows = (
+                img_idx[idx] * img_rows_fb
+                + jnp.asarray(lvl_row_offs)[lv_sub]
+            )
+            row_offset = base_rows * w_pad_fb
+            return row_offset, jnp.full_like(row_offset, w_pad_fb)
     else:
         sizes = [int(f.shape[1] * f.shape[2]) for f in feats]
         img_size = int(np.sum(sizes))
@@ -1749,22 +1810,67 @@ def roi_align_fused_batched(
              for i in range(b)],
             axis=0,
         )
-        row_offset = jnp.asarray(lvl_offs)[lv_sub] + img_idx[idx] * img_size
-        row_stride = None
-    sub = _ra._roi_align_core(
-        flat_buf,
-        flat_rois[idx],
-        scale=jnp.asarray(sc)[lv_sub],
-        fh=jnp.asarray(hs)[lv_sub],
-        fw=jnp.asarray(ws)[lv_sub],
-        row_offset=row_offset,
-        out_size=out_size,
-        sampling_ratio=sampling_ratio,
-        max_samples=max_samples,
-        row_stride=row_stride,
-    )
-    patched = jnp.where(sel_valid[:, None, None, None], sub, flat_out[idx])
-    flat_out = flat_out.at[idx].set(patched.astype(flat_out.dtype))
+
+        def make_offsets(idx, lv_sub):
+            row_offset = (
+                jnp.asarray(lvl_offs)[lv_sub] + img_idx[idx] * img_size
+            )
+            return row_offset, None
+
+    def _fb_apply(cap, flat_out):
+        """Patch the top-`cap` scored rois with the exact gather result."""
+        top, idx = jax.lax.top_k(score, cap)
+        sel_valid = top > 0.0
+        lv_sub = flat_lvls[idx]
+        row_offset, row_stride = make_offsets(idx, lv_sub)
+        sub = _ra._roi_align_core(
+            flat_buf,
+            flat_rois[idx],
+            scale=jnp.asarray(sc)[lv_sub],
+            fh=jnp.asarray(hs)[lv_sub],
+            fw=jnp.asarray(ws)[lv_sub],
+            row_offset=row_offset,
+            out_size=out_size,
+            sampling_ratio=sampling_ratio,
+            max_samples=max_samples,
+            row_stride=row_stride,
+        )
+        patched = jnp.where(
+            sel_valid[:, None, None, None], sub, flat_out[idx]
+        )
+        return flat_out.at[idx].set(patched.astype(flat_out.dtype))
+
+    # HTD_FB_COND=1: the fallback gather runs at full FALLBACK_CAP*b
+    # capacity every step (96 rois/img x 49 bins x 64 rows = the single
+    # most expensive op at batch 4, 14.5 ms/iter) even when no roi
+    # actually overflowed. Tier it on the RUNTIME overflow count with
+    # lax.cond (TPU executes only the taken branch): 0 -> skip entirely,
+    # <= 16/img -> small-cap gather, else full cap. Identical outputs in
+    # all cases (same score/top_k/mask-patch semantics).
+    if os.environ.get("HTD_FB_COND", "0") == "1" and cap_full > 0:
+        n_need = jnp.sum((score > 0.0).astype(jnp.int32))
+        cap_small = min(16 * b, cap_full)
+        if cap_small < cap_full:
+            flat_out = jax.lax.cond(
+                n_need == 0,
+                lambda fo: fo,
+                lambda fo: jax.lax.cond(
+                    n_need <= cap_small,
+                    lambda f2: _fb_apply(cap_small, f2),
+                    lambda f2: _fb_apply(cap_full, f2),
+                    fo,
+                ),
+                flat_out,
+            )
+        else:
+            flat_out = jax.lax.cond(
+                n_need == 0,
+                lambda fo: fo,
+                lambda fo: _fb_apply(cap_full, fo),
+                flat_out,
+            )
+    else:
+        flat_out = _fb_apply(cap_full, flat_out)
     return flat_out.reshape(b, r, out_size, out_size, c)
 
 

@@ -325,7 +325,7 @@ def test_v4_degenerate_rois_trash_slot_and_fallback_priority(rng):
     row_off = jnp.zeros((r,), jnp.float32)
     valid = jnp.asarray(np.arange(r) >= 40)  # first 40 invalid
 
-    ybin, xbin, roi_slot, slot_roi, ovf = _v4_bin_rois(
+    ybin, xbin, roi_slot, slot_roi, ovf, _ = _v4_bin_rois(
         start_h, start_w, hs, ws, row_off, 4, 4, slots, roi_valid=valid
     )
     ovf = np.asarray(ovf)
@@ -340,10 +340,51 @@ def test_v4_degenerate_rois_trash_slot_and_fallback_priority(rng):
     held = roi_slot[40:][~ovf[40:]]
     assert (held != trash).all() and len(set(held.tolist())) == slots
     # without the validity mask the invalid rois would have eaten the bin
-    _, _, _, _, ovf_nomask = _v4_bin_rois(
+    _, _, _, _, ovf_nomask, _ = _v4_bin_rois(
         start_h, start_w, hs, ws, row_off, 4, 4, slots
     )
     assert np.asarray(ovf_nomask).sum() == r - slots
+
+
+def test_v4_spill_bins_eliminate_slot_overflow(rng):
+    """With n_spill = ceil(R/slots), _v4_bin_rois never reports slot
+    overflow — every roi beyond its bin's capacity lands in a spill bin
+    that duplicates the parent's window coordinates."""
+    from htd_tpu.ops.roi_align_pallas import _v4_bin_rois
+
+    r = 64
+    slots = 8
+    n_spill = (r + slots - 1) // slots
+    # all 64 rois crowd into bin (0, 0); 24 of them invalid
+    start_h = jnp.zeros((r,), jnp.float32)
+    start_w = jnp.zeros((r,), jnp.float32)
+    hs = jnp.full((r,), 64.0)
+    ws = jnp.full((r,), 64.0)
+    row_off = jnp.zeros((r,), jnp.float32)
+    valid = jnp.asarray(np.arange(r) >= 24)
+
+    ybin, xbin, roi_slot, slot_roi, ovf, spill_parent = _v4_bin_rois(
+        start_h, start_w, hs, ws, row_off, 4, 4, slots,
+        roi_valid=valid, n_spill=n_spill,
+    )
+    n_bins, n_all = 16, 16 + n_spill
+    ovf = np.asarray(ovf)
+    roi_slot = np.asarray(roi_slot)
+    slot_roi = np.asarray(slot_roi)
+    spill_parent = np.asarray(spill_parent)
+    trash = n_all * slots
+    assert not ovf.any()                       # spill absorbs everything
+    assert (roi_slot[:24] == trash).all()      # invalid rois: trash only
+    held = roi_slot[24:]
+    assert (held != trash).all()
+    assert len(set(held.tolist())) == 40       # every valid roi has a slot
+    # 8 primary + 32 spilled -> spill rounds 0..3 used, all parented to bin 0
+    used_spill = sorted({s // slots - n_bins for s in held if s >= n_bins * slots})
+    assert used_spill == [0, 1, 2, 3]
+    assert (spill_parent[:4] == 0).all()
+    # slot_roi inverse mapping is consistent
+    for roi, s in enumerate(held.tolist(), start=24):
+        assert slot_roi[s] == roi
 
 
 def test_fused_batched_padded_rois_do_not_starve_fallback(rng):
@@ -418,6 +459,54 @@ def test_v4_kernel_bodies_interpret_match_emulation(rng, monkeypatch):
             np.asarray(out), np.asarray(ref), rtol=2e-2, atol=2e-2,
             err_msg=f"packed={packed}",
         )
+
+
+def test_v4_kernel_body_spill_bins_match_emulation(rng, monkeypatch):
+    """The REAL kernel body with CROWDED rois (slot overflow absorbed by
+    spill bins) must match the jnp emulation: spill-bin rois get the same
+    two-matmul treatment as primary-bin rois, and none report overflow."""
+    import htd_tpu.ops.roi_align_pallas as rap
+
+    strides = (4, 8, 16, 32)
+    feats = [
+        jnp.asarray(
+            rng.normal(0, 1, (64 // (2 ** i), 96 // (2 ** i), 8))
+            .astype(np.float32)
+        )
+        for i in range(4)
+    ]
+    # 40 small rois crowded into one 56x128 px corner: with slots=8 the
+    # first bin overflows into ceil(40/8) spill rounds
+    n = 40
+    rois = np.zeros((n, 4), np.float32)
+    rois[:, 0] = rng.uniform(0, 40, n)
+    rois[:, 1] = rng.uniform(0, 40, n)
+    rois[:, 2] = rois[:, 0] + rng.uniform(5, 30, n)
+    rois[:, 3] = rois[:, 1] + rng.uniform(5, 30, n)
+    lvls = map_roi_levels(jnp.asarray(rois), 4)
+
+    ref, ovf_ref = rap.roi_align_pallas_v4(
+        feats, jnp.asarray(rois), strides, lvls, 7, 0, 4, interpret=True,
+        slots=8,
+    )
+    assert not np.asarray(ovf_ref).any()
+
+    monkeypatch.setattr(rap, "_FORCE_KERNEL_INTERPRET", True)
+    out, ovf = rap.roi_align_pallas_v4(
+        feats, jnp.asarray(rois), strides, lvls, 7, 0, 4, interpret=True,
+        slots=8,
+    )
+    assert not np.asarray(ovf).any()
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-2, atol=2e-2
+    )
+    # with spill disabled the same layout must overflow
+    monkeypatch.setenv("HTD_V4_SPILL", "0")
+    _, ovf_off = rap.roi_align_pallas_v4(
+        feats, jnp.asarray(rois), strides, lvls, 7, 0, 4, interpret=True,
+        slots=8,
+    )
+    assert np.asarray(ovf_off).any()
 
 
 def test_build_pyramid_pallas_matches_xla(rng):

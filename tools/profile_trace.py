@@ -87,6 +87,9 @@ def main():
     p.add_argument("--logdir", default="/tmp/htd_prof")
     p.add_argument("--parse-only", action="store_true",
                    help="just re-parse an existing logdir")
+    p.add_argument("--train", action="store_true",
+                   help="profile the full train step instead of an "
+                        "inference prefix (--upto is ignored)")
     args = p.parse_args()
 
     if args.parse_only:
@@ -110,6 +113,51 @@ def main():
     images = jnp.asarray(rng.normal(0, 1, (b, h, w, 3)).astype(np.float32))
     shapes = jnp.asarray(np.tile([[h - 50.0, w - 11.0]], (b, 1)).astype(np.float32))
     sfs = jnp.asarray(np.ones((b, 4), np.float32))
+
+    if args.train:
+        from htd_tpu.train.train_step import (
+            TrainBatch, create_train_state, train_step,
+        )
+
+        max_gt = cfg.train.max_gt
+        gt_boxes = np.zeros((b, max_gt, 4), np.float32)
+        gt_valid = np.zeros((b, max_gt), bool)
+        gt_labels = np.zeros((b, max_gt), np.int32)
+        for i in range(b):
+            for g in range(8):
+                x1, y1 = rng.uniform(0, w - 80), rng.uniform(0, h - 80)
+                gt_boxes[i, g] = [
+                    x1, y1, x1 + rng.uniform(30, 70), y1 + rng.uniform(30, 70)
+                ]
+                gt_labels[i, g] = rng.randint(0, cfg.num_classes)
+                gt_valid[i, g] = True
+        batch = TrainBatch(
+            images=images, img_shapes=shapes,
+            gt_boxes=jnp.asarray(gt_boxes), gt_labels=jnp.asarray(gt_labels),
+            gt_valid=jnp.asarray(gt_valid),
+        )
+        model, state, tx = create_train_state(
+            cfg, jax.random.PRNGKey(0), batch, steps_per_epoch=1000
+        )
+
+        @jax.jit
+        def train_run(st, img):
+            b2 = batch._replace(images=img)
+            st2, _ = train_step(model, tx, st, b2, jax.random.PRNGKey(0))
+            return st2
+
+        # warm (compile) outside the trace
+        state = jax.block_until_ready(train_run(state, images))
+        os.makedirs(args.logdir, exist_ok=True)
+        with jax.profiler.trace(args.logdir):
+            for i in range(args.reps):
+                state = train_run(state, images + np.float32(i) * 1e-9)
+            jax.block_until_ready(state)
+        print(f"ran {args.reps} reps of the train step")
+        parse_xplane(args.logdir, args.top, args.min_us, args.grep)
+        print(f"\nNOTE: 'us total' sums over {args.reps} reps — divide by "
+              f"{args.reps} for per-iteration time.")
+        return
 
     init_fn = jax.jit(lambda r, im, sh, sf: model.init({"params": r}, im, sh, sf))
     variables = init_fn(jax.random.PRNGKey(0), images, shapes, sfs)
