@@ -1387,6 +1387,7 @@ def roi_align_pallas_v4(
     img_idx: "Array | None" = None,
     slots: int = 24,
     roi_valid: "Array | None" = None,
+    spill_bins: "int | None" = None,
 ):
     """v4 'bin-tile' kernel: grid over SPATIAL BINS, not rois.
 
@@ -1461,15 +1462,28 @@ def roi_align_pallas_v4(
     if img_idx is not None:
         row_off = row_off + img_idx.astype(f32) * float(img_rows)
 
-    # Spill bins (HTD_V4_SPILL=0 reverts): n_spill = ceil(R/slots) virtual
-    # duplicate bins make slot overflow impossible (see _v4_bin_rois) —
-    # crowded images stay in-kernel instead of the gather fallback, whose
-    # fixed cap silently zero-filled rois beyond it.
-    n_spill = (
-        (r + slots - 1) // slots
-        if os.environ.get("HTD_V4_SPILL", "1") == "1"
-        else 0
-    )
+    # Spill bins (HTD_V4_SPILL): virtual duplicate bins that absorb slot
+    # overflow in-kernel (see _v4_bin_rois). "1" (exhaustive) appends
+    # ceil(R/slots) bins — overflow becomes IMPOSSIBLE, but at 1000
+    # proposals that is ~42 extra bins (~45% more interp-matrix build and
+    # grid steps; measured −1.2 img/s at b1). An integer k >= 2 caps the
+    # budget at k bins total (callers with batched rois pass
+    # `spill_bins` = k * n_images instead, so the budget scales with
+    # batch): realistic crowding needs only a few spill rounds, and the
+    # residual still exits through the exact gather fallback
+    # (`ovf_sorted` -> overflow scoring), so correctness is unchanged —
+    # only the slow path gets rarer. "0" disables.
+    spill_full = (r + slots - 1) // slots
+    if spill_bins is not None:
+        n_spill = min(int(spill_bins), spill_full)
+    else:
+        spill_mode = os.environ.get("HTD_V4_SPILL", "1")
+        if spill_mode == "0":
+            n_spill = 0
+        elif spill_mode == "1":
+            n_spill = spill_full
+        else:
+            n_spill = min(int(spill_mode), spill_full)
     n_all = n_bins + n_spill
 
     ybin_r, xbin_r, roi_slot, slot_roi, slot_ovf, spill_parent = _v4_bin_rois(
@@ -1719,13 +1733,34 @@ def roi_align_fused_batched(
     scales = jnp.asarray([1.0 / s for s in strides], f32)[flat_lvls]
     ext_w = (flat_rois[:, 2] - flat_rois[:, 0]).astype(f32) * scales
     ext_h = (flat_rois[:, 3] - flat_rois[:, 1]).astype(f32) * scales
+    # Spill / conditional-fallback defaults are BATCH-AWARE (on-chip A/B
+    # 2026-08-19, PERF.md "Round 3f"): at b1 the exhaustive spill bins
+    # cost more than the unconditional cap-96 gather they avoid
+    # (27.1 img/s spill-off vs 26.7 best spill variant), while at b4 the
+    # gather is the #1 op and exhaustive spill + tiered cond fallback wins
+    # (46.4 -> 40.5 ms/img). Budget-mode spill (k bins/img) lost
+    # everywhere: any residual overflow puts the cond on its full-cap
+    # branch, which serializes the gather (23.0 img/s b1).
+    spill_mode = os.environ.get("HTD_V4_SPILL", "auto")
+    if spill_mode == "auto":
+        spill_mode = "1" if b > 1 else "0"
+    fb_cond = os.environ.get("HTD_FB_COND", "auto")
+    fb_cond = (b > 1) if fb_cond == "auto" else fb_cond == "1"
     if kernel == "v4":
         size_ovf = (ext_w > V4_COVER_W) | (ext_h > V4_COVER_H)
+        if spill_mode == "0":
+            spill_arg = 0
+        elif spill_mode == "1":
+            spill_arg = b * r  # >= ceil(B*R/slots): exhaustive
+        else:
+            # explicit k>=2: PER-IMAGE budget (crowding is per-image; a
+            # fixed total budget starves later images at batch>1)
+            spill_arg = int(spill_mode) * b
         flat_out, slot_ovf = roi_align_pallas_v4(
             list(feats), flat_rois, strides, flat_lvls,
             out_size=out_size, sampling_ratio=sampling_ratio,
             max_samples=max_samples, interpret=interpret, img_idx=img_idx,
-            roi_valid=roi_ok,
+            roi_valid=roi_ok, spill_bins=spill_arg,
         )
         overflow = size_ovf | slot_ovf
     else:
@@ -1754,11 +1789,13 @@ def roi_align_fused_batched(
 
     if fallback_cap is not None:
         cap_full = fallback_cap
-    elif kernel == "v4" and os.environ.get("HTD_V4_SPILL", "1") == "1":
-        # spill bins make slot overflow impossible, so the fallback only
-        # serves SIZE-overflow (elongated) rois — rare, and their kernel
-        # value is a truncated-coverage approximation rather than zeros,
-        # so a smaller per-image budget degrades gracefully.
+    elif kernel == "v4" and spill_mode == "1":
+        # EXHAUSTIVE spill bins make slot overflow impossible, so the
+        # fallback only serves SIZE-overflow (elongated) rois — rare, and
+        # their kernel value is a truncated-coverage approximation rather
+        # than zeros, so a smaller per-image budget degrades gracefully.
+        # (A capped spill budget HTD_V4_SPILL=k>=2 keeps the full cap:
+        # slot overflow is possible again, merely rare.)
         cap_full = int(os.environ.get("HTD_FB_CAP", "32")) * b
     else:
         cap_full = FALLBACK_CAP * b
@@ -1840,14 +1877,17 @@ def roi_align_fused_batched(
         )
         return flat_out.at[idx].set(patched.astype(flat_out.dtype))
 
-    # HTD_FB_COND=1: the fallback gather runs at full FALLBACK_CAP*b
-    # capacity every step (96 rois/img x 49 bins x 64 rows = the single
-    # most expensive op at batch 4, 14.5 ms/iter) even when no roi
-    # actually overflowed. Tier it on the RUNTIME overflow count with
+    # fb_cond (HTD_FB_COND, default on at batch>1): the fallback gather
+    # runs at full capacity every step (96 rois/img x 49 bins x 64 rows =
+    # the single most expensive op at batch 4, 14.5 ms/iter) even when no
+    # roi actually overflowed. Tier it on the RUNTIME overflow count with
     # lax.cond (TPU executes only the taken branch): 0 -> skip entirely,
     # <= 16/img -> small-cap gather, else full cap. Identical outputs in
-    # all cases (same score/top_k/mask-patch semantics).
-    if os.environ.get("HTD_FB_COND", "0") == "1" and cap_full > 0:
+    # all cases (same score/top_k/mask-patch semantics). Only worthwhile
+    # when the skip/small branches are the common case (i.e. with
+    # exhaustive spill); the full-cap branch costs MORE than the
+    # unconditional gather (serialized, 27.1 -> 23.0 img/s at b1).
+    if fb_cond and cap_full > 0:
         n_need = jnp.sum((score > 0.0).astype(jnp.int32))
         cap_small = min(16 * b, cap_full)
         if cap_small < cap_full:

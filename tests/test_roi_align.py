@@ -387,6 +387,41 @@ def test_v4_spill_bins_eliminate_slot_overflow(rng):
         assert slot_roi[s] == roi
 
 
+def test_v4_capped_spill_budget_reports_residual_overflow(rng):
+    """With n_spill SMALLER than ceil(R/slots) (HTD_V4_SPILL=k budget
+    mode), the first k spill rounds absorb overflow in-kernel and the
+    residual is reported as overflow so the caller's exact gather
+    fallback patches it — correctness never depends on the budget."""
+    from htd_tpu.ops.roi_align_pallas import _v4_bin_rois
+
+    r = 64
+    slots = 8
+    n_spill = 2                                 # budget: 2 of the 7 rounds needed
+    start_h = jnp.zeros((r,), jnp.float32)
+    start_w = jnp.zeros((r,), jnp.float32)
+    hs = jnp.full((r,), 64.0)
+    ws = jnp.full((r,), 64.0)
+    row_off = jnp.zeros((r,), jnp.float32)
+
+    _, _, roi_slot, slot_roi, ovf, spill_parent = _v4_bin_rois(
+        start_h, start_w, hs, ws, row_off, 4, 4, slots, n_spill=n_spill,
+    )
+    n_bins, n_all = 16, 16 + n_spill
+    ovf = np.asarray(ovf)
+    roi_slot = np.asarray(roi_slot)
+    slot_roi = np.asarray(slot_roi)
+    trash = n_all * slots
+    # 8 primary + 16 spill slots held; the remaining 40 overflow to trash
+    assert ovf.sum() == r - slots - n_spill * slots
+    assert (roi_slot[ovf] == trash).all()
+    held = roi_slot[~ovf]
+    assert (held != trash).all()
+    assert len(set(held.tolist())) == slots + n_spill * slots
+    assert (np.asarray(spill_parent) == 0).all()   # both rounds parent bin 0
+    for roi, s in zip(np.flatnonzero(~ovf).tolist(), held.tolist()):
+        assert slot_roi[s] == roi
+
+
 def test_fused_batched_padded_rois_do_not_starve_fallback(rng):
     """End-to-end (emulation path): valid rois stay exact even when earlier
     images carry far more zero-padded rois than the fallback cap."""
