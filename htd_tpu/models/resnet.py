@@ -71,17 +71,48 @@ class DeformConv2d(nn.Module):
             jnp.float32,
         )
         if self.groups > 1:
-            # grouped weights executed block-diagonally (see
-            # BlockDiagGroupedConv for the TPU rationale)
             og = self.features // self.groups
-            dense = jnp.zeros((3, 3, cin, self.features), weight.dtype)
-            for g in range(self.groups):
-                dense = jax.lax.dynamic_update_slice(
-                    dense,
-                    weight[:, :, :, g * og : (g + 1) * og],
-                    (0, 0, g * cg, g * og),
-                )
-            weight = dense
+
+            def dense_block(g0: int, ng: int) -> Array:
+                # block-diagonal dense kernel over groups [g0, g0+ng) (see
+                # BlockDiagGroupedConv for the TPU rationale)
+                d = jnp.zeros((3, 3, ng * cg, ng * og), weight.dtype)
+                for j in range(ng):
+                    d = jax.lax.dynamic_update_slice(
+                        d,
+                        weight[:, :, :, (g0 + j) * og : (g0 + j + 1) * og],
+                        (0, 0, j * cg, j * og),
+                    )
+                return d
+
+            # Group-aligned channel chunking: groups never mix channels, so
+            # a grouped DCN conv splits into independent ~chunk-wide dense
+            # block-diagonal DCN convs over disjoint channel ranges. Each
+            # chunk's weight fits the Pallas kernel's VMEM guard (X-101's
+            # 1024/2048-ch c4/c5 convs otherwise fall back to the gather
+            # path) and the dense zero-block MXU waste drops from GxG to
+            # chunk-diagonal. HTD_DCN_GROUP_CHUNK = target channel width
+            # (0 = single dense conv, the pre-chunking behavior).
+            chunk = int(os.environ.get("HTD_DCN_GROUP_CHUNK", "256"))
+            gpc = self.groups if chunk <= 0 else max(1, chunk // cg)
+            gpc = min(gpc, self.groups)
+            n_chunks = -(-self.groups // gpc)
+            if n_chunks > 1 and self.deform_groups == 1:
+                outs = []
+                for ci in range(n_chunks):
+                    g0 = ci * gpc
+                    ng = min(self.groups, g0 + gpc) - g0
+                    outs.append(
+                        deform_conv2d(
+                            x[..., g0 * cg : (g0 + ng) * cg],
+                            offsets,
+                            dense_block(g0, ng).astype(x.dtype),
+                            stride=self.stride,
+                            deform_groups=1,
+                        )
+                    )
+                return jnp.concatenate(outs, axis=-1)
+            weight = dense_block(0, self.groups)
         return deform_conv2d(
             x,
             offsets,

@@ -75,3 +75,36 @@ def test_grouped_dcn_param_shape():
     # layer2 width = 128*4*64/64 = 512; groups 64 -> C/G = 8
     assert p["kernel"].shape == (3, 3, 512 // 64, 512)
     assert p["conv_offset"]["kernel"].shape == (3, 3, 512, 18)
+
+
+def test_grouped_dcn_chunked_equals_dense(rng, monkeypatch):
+    """Group-aligned channel chunking (HTD_DCN_GROUP_CHUNK) is exact: a
+    grouped DCN conv never mixes channels across groups, so per-chunk dense
+    block-diagonal convs concatenated == one full dense block-diagonal conv
+    (the path X-101's 1024/2048-ch c4/c5 convs take to reach the Pallas
+    kernel's VMEM guard)."""
+    from htd_tpu.models.resnet import DeformConv2d
+
+    m = DeformConv2d(features=32, groups=8, deform_groups=1)
+    x = jnp.asarray(rng.normal(0, 1, (2, 9, 11, 32)).astype(np.float32))
+    variables = m.init(jax.random.PRNGKey(0), x)
+    # random (non-zero-init) offsets so the bilinear sampling is exercised
+    params = jax.tree_util.tree_map(
+        lambda p: jnp.asarray(rng.normal(0, 0.5, p.shape).astype(p.dtype)),
+        variables["params"],
+    )
+
+    monkeypatch.setenv("HTD_DCN_GROUP_CHUNK", "0")
+    dense = m.apply({"params": params}, x)
+    monkeypatch.setenv("HTD_DCN_GROUP_CHUNK", "8")  # cg=4 -> 2 groups/chunk
+    chunked = m.apply({"params": params}, x)
+    np.testing.assert_allclose(
+        np.asarray(chunked), np.asarray(dense), rtol=1e-5, atol=1e-5
+    )
+
+    # ragged split (3 groups/chunk over 8 groups) must also be exact
+    monkeypatch.setenv("HTD_DCN_GROUP_CHUNK", "12")
+    ragged = m.apply({"params": params}, x)
+    np.testing.assert_allclose(
+        np.asarray(ragged), np.asarray(dense), rtol=1e-5, atol=1e-5
+    )
