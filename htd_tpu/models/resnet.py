@@ -92,8 +92,12 @@ class DeformConv2d(nn.Module):
             # 1024/2048-ch c4/c5 convs otherwise fall back to the gather
             # path) and the dense zero-block MXU waste drops from GxG to
             # chunk-diagonal. HTD_DCN_GROUP_CHUNK = target channel width
-            # (0 = single dense conv, the pre-chunking behavior).
-            chunk = int(os.environ.get("HTD_DCN_GROUP_CHUNK", "256"))
+            # (0 = single dense conv, the pre-chunking behavior). On-chip
+            # A/B (X-101 800x1600, 2026-08-20): 512 -> 166.9 ms/img,
+            # 256 -> 182.1, 128 -> 232.3 (per-chunk fixed costs), dense
+            # gather fallback -> 204.3; wider chunks lose the kernel to
+            # its VMEM stripe budget (~45 MB at 512).
+            chunk = int(os.environ.get("HTD_DCN_GROUP_CHUNK", "512"))
             gpc = self.groups if chunk <= 0 else max(1, chunk // cg)
             gpc = min(gpc, self.groups)
             n_chunks = -(-self.groups // gpc)
