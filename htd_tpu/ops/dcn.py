@@ -256,6 +256,13 @@ def deform_conv2d(
         raise ValueError(f"unknown HTD_DCN_IMPL {impl!r}")
     win_m = int(os.environ.get("HTD_DCN_WINDOW_M", "1"))
     fb_cap = int(os.environ.get("HTD_DCN_FB_CAP", "128"))
+    # floor-displacement window bounds: symmetric [-m, m] by default;
+    # HTD_DCN_WIN=asym -> [-1, 0] (offsets in [-1,1)): 9 select-MAC shifts
+    # instead of 16, larger offsets resolved by the exact correction pass
+    if os.environ.get("HTD_DCN_WIN", "") == "asym":
+        win_lo, win_hi = -1, 0
+    else:
+        win_lo, win_hi = -win_m, win_m
     if impl == "pallas":
         kernel_ok = (
             deform_groups == 1
@@ -264,7 +271,7 @@ def deform_conv2d(
         )
         if kernel_ok:
             pad = (kh - 1) // 2 * dilation
-            fn = _pallas_dcn_fn(dilation, pad, win_m, fb_cap)
+            fn = _pallas_dcn_fn(dilation, pad, win_m, fb_cap, win_lo, win_hi)
             return fn(x, offsets, weight)
         impl = "gather"
     return _dcn_xla_impl(
@@ -274,7 +281,8 @@ def deform_conv2d(
 
 
 @functools.lru_cache(maxsize=None)
-def _pallas_dcn_fn(dilation: int, pad: int, m: int, cap: int):
+def _pallas_dcn_fn(dilation: int, pad: int, m: int, cap: int,
+                   lo: int | None = None, hi: int | None = None):
     """custom_vjp wrapper: Pallas windowed forward, gather-formulation
     gradients (exact; recomputes the forward in bwd)."""
 
@@ -287,7 +295,9 @@ def _pallas_dcn_fn(dilation: int, pad: int, m: int, cap: int):
     def f(x, offsets, weight):
         from htd_tpu.ops.dcn_pallas import dcn_conv_windowed
 
-        return dcn_conv_windowed(x, offsets, weight, pad, dilation, m, cap)
+        return dcn_conv_windowed(
+            x, offsets, weight, pad, dilation, m, cap, lo, hi
+        )
 
     def fwd(x, offsets, weight):
         return f(x, offsets, weight), (x, offsets, weight)

@@ -49,8 +49,10 @@ FB_CAP = 128
 
 
 def _dcn_kernel(pad0_ref, pad1_ref, off_ref, w_ref, out_ref, flag_ref,
-                *, r, wo, c, cout, kh, kw, m, h, w, pad, dil, out_dtype):
-    win = 2 * m + 2
+                *, r, wo, c, cout, kh, kw, lo, hi, h, w, pad, dil,
+                out_dtype):
+    # floor-displacement window [lo, hi] -> corner shifts lo .. hi+1
+    win = hi - lo + 2
     f32 = jnp.float32
     i = pl.program_id(0)
 
@@ -79,25 +81,25 @@ def _dcn_kernel(pad0_ref, pad1_ref, off_ref, w_ref, out_ref, flag_ref,
             dxc = x0 - (ix - pad + kxi * dil)
             inside = (ys > -1.0) & (ys < h) & (xs > -1.0) & (xs < w)
             in_win = (
-                (dyc >= -m) & (dyc <= m) & (dxc >= -m) & (dxc <= m)
+                (dyc >= lo) & (dyc <= hi) & (dxc >= lo) & (dxc <= hi)
             )
             live = (inside & in_win).astype(f32)
             flag += (inside & ~in_win).astype(f32)
 
             samp = jnp.zeros((r, wo, c), stripe.dtype)
             for ai in range(win):
-                a = ai - m
+                a = ai + lo
                 wy = (
                     jnp.where(dyc == a, 1.0 - ly, 0.0)
                     + jnp.where(dyc == a - 1.0, ly, 0.0)
                 ) * live
-                row_off = kyi * dil + a + m
+                row_off = kyi * dil + a - lo
                 for bi in range(win):
-                    b = bi - m
+                    b = bi + lo
                     wx = jnp.where(dxc == b, 1.0 - lx, 0.0) + jnp.where(
                         dxc == b - 1.0, lx, 0.0
                     )
-                    col_off = kxi * dil + b + m
+                    col_off = kxi * dil + b - lo
                     sl = jax.lax.slice(
                         stripe,
                         (row_off, col_off, 0),
@@ -122,9 +124,13 @@ def dcn_sample_conv_pallas(
     kw: int,
     pad: int,
     dilation: int,
-    m: int,
+    lo: int,
+    hi: int,
 ):
-    """Returns (out (Ho, Wo, Cout), flag (Ho, Wo) f32 0/1). stride==1 only."""
+    """Returns (out (Ho, Wo, Cout), flag (Ho, Wo) f32 0/1). stride==1 only.
+
+    (lo, hi): floor-displacement window bounds (symmetric m -> (-m, m);
+    the asym (-1, 0) window covers offsets in [-1, 1) with 9 shifts)."""
     h, w, c = (int(s) for s in feat.shape)
     ho, wo, _ = (int(s) for s in offsets.shape)
     cout = int(weight.shape[-1])
@@ -134,14 +140,14 @@ def dcn_sample_conv_pallas(
     # flatten feeding the MXU dot merges the row dims, which is only a safe
     # retile when the merged dim is a multiple of the 8-row sublane tile
     wop = -(-wo // 8) * 8
-    # row geometry: stripe length per block L = (R-1) + (kh-1)*dil + 2m + 2
-    ell = (r - 1) + (kh - 1) * dilation + 2 * m + 2
+    # row geometry: stripe length per block L = (R-1) + (kh-1)*dil + win
+    ell = (r - 1) + (kh - 1) * dilation + (hi - lo) + 2
     if ell > 2 * r:
-        raise ValueError(f"window m={m} too large for R={r} row blocks")
-    pb = pad + m
+        raise ValueError(f"window ({lo},{hi}) too large for R={r} row blocks")
+    pb = pad - lo
     rows_pad = (n_blocks + 1) * r
     pa_y = rows_pad - pb - h
-    pa_x = max(0, (wop - 1) + (kw - 1) * dilation + m + 2 - pad - w)
+    pa_x = max(0, (wop - 1) + (kw - 1) * dilation + hi + 2 - pad - w)
     padmap = jnp.pad(feat, ((pb, pa_y), (pb, pa_x), (0, 0)))
     off_p = jnp.pad(
         offsets, ((0, n_blocks * r - ho), (0, wop - wo), (0, 0))
@@ -149,7 +155,7 @@ def dcn_sample_conv_pallas(
 
     kernel = functools.partial(
         _dcn_kernel,
-        r=r, wo=wop, c=c, cout=cout, kh=kh, kw=kw, m=m,
+        r=r, wo=wop, c=c, cout=cout, kh=kh, kw=kw, lo=lo, hi=hi,
         h=float(h), w=float(w), pad=pad, dil=dilation,
         out_dtype=feat.dtype,
     )
@@ -187,9 +193,17 @@ def dcn_conv_windowed(
     dilation: int,
     m: int,
     cap: int = FB_CAP,
+    lo: int | None = None,
+    hi: int | None = None,
 ) -> Array:
     """Fused windowed DCN conv (stride 1, deform_groups 1) with the exact
-    capped correction pass. Returns (N, Ho, Wo, Cout)."""
+    capped correction pass. Returns (N, Ho, Wo, Cout).
+
+    Window: floor-displacement bounds (lo, hi), default the symmetric
+    (-m, m). The asymmetric (-1, 0) window (HTD_DCN_WIN=asym) covers
+    offsets in [-1, 1) with 9 select-MAC shifts instead of 16."""
+    if lo is None:
+        lo, hi = -m, m
     from htd_tpu.ops.dcn import _bilinear_gather
 
     n, h, w, c = (int(s) for s in x.shape)
@@ -205,7 +219,7 @@ def dcn_conv_windowed(
     for img in range(n):
         off = offsets[img].astype(f32)
         out, flag = dcn_sample_conv_pallas(
-            x[img], off, wmat, kh, kw, pad, dilation, m
+            x[img], off, wmat, kh, kw, pad, dilation, lo, hi
         )
         # exact correction for flagged pixels (top-cap compaction; zero add
         # when nothing is flagged — no cond, no windowed-value re-read)
@@ -225,8 +239,8 @@ def dcn_conv_windowed(
         x0 = jnp.floor(xs)
         inside = (ys > -1.0) & (ys < h) & (xs > -1.0) & (xs < w)
         oow = ~(
-            (y0 - base_y >= -m) & (y0 - base_y <= m)
-            & (x0 - base_x >= -m) & (x0 - base_x <= m)
+            (y0 - base_y >= lo) & (y0 - base_y <= hi)
+            & (x0 - base_x >= lo) & (x0 - base_x <= hi)
         )
         need = inside & oow & valid[:, None]
         fb = _bilinear_gather(x[img].reshape(h * w, c), h, w, ys, xs)

@@ -29,9 +29,29 @@ def _force(x):
     return float(jnp.sum(x.astype(jnp.float32)))
 
 
+def enable_compile_cache() -> None:
+    """Persistent XLA compilation cache (also for the remote axon backend,
+    where compiles are slow tunnel round-trips). Keyed on HLO, so repeat
+    benchmark/tool invocations across sessions skip recompilation."""
+    import jax
+
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))), ".cache", "jax"),
+    )
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception as e:  # noqa: BLE001 — cache is best-effort
+        print(f"[kernel_probe] compile cache disabled: {e}")
+
+
 def probe_and_gate(verbose: bool = True) -> dict:
     import jax
 
+    enable_compile_cache()
     results = {}
     if jax.default_backend() == "cpu":
         return results

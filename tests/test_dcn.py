@@ -222,3 +222,46 @@ def test_pallas_custom_vjp_grads(rng, monkeypatch):
     for a, b in zip(g_p, g_r):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_kernel_asym_window_matches_gather(rng, monkeypatch):
+    """The asymmetric (-1, 0) floor-displacement window (9 select-MAC
+    shifts; HTD_DCN_WIN=asym) + capped correction matches the gather
+    formulation for small and fallback-heavy offsets alike."""
+    import jax
+
+    from htd_tpu.ops import dcn_pallas
+
+    monkeypatch.setattr(dcn_pallas, "_INTERPRET", True)
+    x = jnp.asarray(rng.normal(0, 1, (2, 11, 13, 8)).astype(np.float32))
+    wgt = jnp.asarray(rng.normal(0, 0.5, (3, 3, 8, 16)).astype(np.float32))
+    with jax.default_matmul_precision("highest"):
+        for scale, cap in ((0.2, 256), (2.5, 256)):
+            off = jnp.asarray(
+                rng.normal(0, scale, (2, 11, 13, 18)).astype(np.float32))
+            ref = np.asarray(_dcn_xla_impl(
+                x, off, wgt, 1, 1, 1, "gather", 1, cap))
+            out = np.asarray(dcn_pallas.dcn_conv_windowed(
+                x, off, wgt, pad=1, dilation=1, m=1, cap=cap, lo=-1, hi=0))
+            np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_deform_conv2d_asym_env_dispatch(rng, monkeypatch):
+    """HTD_DCN_WIN=asym routes the pallas impl through the (-1, 0) bounds
+    and still matches the gather formulation (kernel in interpret mode)."""
+    from htd_tpu.ops import dcn_pallas
+    from htd_tpu.ops.dcn import _pallas_dcn_fn
+
+    monkeypatch.setattr(dcn_pallas, "_INTERPRET", True)
+    _pallas_dcn_fn.cache_clear()
+    x = jnp.asarray(rng.normal(0, 1, (1, 9, 10, 4)).astype(np.float32))
+    wgt = jnp.asarray(rng.normal(0, 0.5, (3, 3, 4, 8)).astype(np.float32))
+    off = jnp.asarray(
+        rng.uniform(-0.95, 0.95, (1, 9, 10, 18)).astype(np.float32))
+    ref = np.asarray(_dcn_xla_impl(x, off, wgt, 1, 1, 1, "gather", 1, 128))
+    monkeypatch.setenv("HTD_DCN_WIN", "asym")
+    monkeypatch.setenv("HTD_DCN_IMPL", "pallas")
+    with jax.default_matmul_precision("highest"):
+        out = np.asarray(deform_conv2d(x, off, wgt))
+    _pallas_dcn_fn.cache_clear()
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
