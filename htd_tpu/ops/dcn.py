@@ -266,12 +266,14 @@ def deform_conv2d(
     if impl == "pallas":
         kernel_ok = (
             deform_groups == 1
-            and stride == 1
+            and stride in (1, 2)
             and kh * kw * cin * cout * x.dtype.itemsize <= 6 * 2**20
         )
         if kernel_ok:
             pad = (kh - 1) // 2 * dilation
-            fn = _pallas_dcn_fn(dilation, pad, win_m, fb_cap, win_lo, win_hi)
+            fn = _pallas_dcn_fn(
+                dilation, pad, win_m, fb_cap, win_lo, win_hi, stride
+            )
             return fn(x, offsets, weight)
         impl = "gather"
     return _dcn_xla_impl(
@@ -282,13 +284,14 @@ def deform_conv2d(
 
 @functools.lru_cache(maxsize=None)
 def _pallas_dcn_fn(dilation: int, pad: int, m: int, cap: int,
-                   lo: int | None = None, hi: int | None = None):
+                   lo: int | None = None, hi: int | None = None,
+                   stride: int = 1):
     """custom_vjp wrapper: Pallas windowed forward, gather-formulation
     gradients (exact; recomputes the forward in bwd)."""
 
     def ref(x, offsets, weight):
         return _dcn_xla_impl(
-            x, offsets, weight, 1, dilation, 1, "gather", m, cap
+            x, offsets, weight, stride, dilation, 1, "gather", m, cap
         )
 
     @jax.custom_vjp
@@ -296,7 +299,7 @@ def _pallas_dcn_fn(dilation: int, pad: int, m: int, cap: int,
         from htd_tpu.ops.dcn_pallas import dcn_conv_windowed
 
         return dcn_conv_windowed(
-            x, offsets, weight, pad, dilation, m, cap, lo, hi
+            x, offsets, weight, pad, dilation, m, cap, lo, hi, stride
         )
 
     def fwd(x, offsets, weight):

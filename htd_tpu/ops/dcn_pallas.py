@@ -50,14 +50,18 @@ FB_CAP = 128
 
 def _dcn_kernel(pad0_ref, pad1_ref, off_ref, w_ref, out_ref, flag_ref,
                 *, r, wo, c, cout, kh, kw, lo, hi, h, w, pad, dil,
-                out_dtype):
+                stride, out_dtype):
     # floor-displacement window [lo, hi] -> corner shifts lo .. hi+1
     win = hi - lo + 2
     f32 = jnp.float32
     i = pl.program_id(0)
 
     # stripe: rows [i*R, i*R + L) of the padded map (L <= 2R by the caller's
-    # geometry checks), assembled from two consecutive R-row blocks
+    # geometry checks), assembled from two consecutive R-row blocks.
+    # stride 1: (L, Wp, C) padded map rows. stride 2: (L, Wp/2, 4C)
+    # parity-plane (space-to-depth) rows — input row 2*i + U lives at plane
+    # row i + (U>>1), channel slab (U&1, V&1): the slice arithmetic below
+    # is shared, with U = k*dil + (a - lo) exactly as in the stride-1 form.
     stripe = jnp.concatenate([pad0_ref[...], pad1_ref[...]], axis=0)
 
     off = off_ref[...].astype(f32)  # (R, Wo, 2K)
@@ -71,14 +75,16 @@ def _dcn_kernel(pad0_ref, pad1_ref, off_ref, w_ref, out_ref, flag_ref,
     for kyi in range(kh):
         for kxi in range(kw):
             t = kyi * kw + kxi
-            ys = iy - pad + kyi * dil + off[:, :, 2 * t : 2 * t + 1]
-            xs = ix - pad + kxi * dil + off[:, :, 2 * t + 1 : 2 * t + 2]
+            by = iy * stride - pad + kyi * dil
+            bx = ix * stride - pad + kxi * dil
+            ys = by + off[:, :, 2 * t : 2 * t + 1]
+            xs = bx + off[:, :, 2 * t + 1 : 2 * t + 2]
             y0 = jnp.floor(ys)
             x0 = jnp.floor(xs)
             ly = ys - y0
             lx = xs - x0
-            dyc = y0 - (iy - pad + kyi * dil)
-            dxc = x0 - (ix - pad + kxi * dil)
+            dyc = y0 - by
+            dxc = x0 - bx
             inside = (ys > -1.0) & (ys < h) & (xs > -1.0) & (xs < w)
             in_win = (
                 (dyc >= lo) & (dyc <= hi) & (dxc >= lo) & (dxc <= hi)
@@ -93,17 +99,22 @@ def _dcn_kernel(pad0_ref, pad1_ref, off_ref, w_ref, out_ref, flag_ref,
                     jnp.where(dyc == a, 1.0 - ly, 0.0)
                     + jnp.where(dyc == a - 1.0, ly, 0.0)
                 ) * live
-                row_off = kyi * dil + a - lo
+                u = kyi * dil + a - lo
                 for bi in range(win):
                     b = bi + lo
                     wx = jnp.where(dxc == b, 1.0 - lx, 0.0) + jnp.where(
                         dxc == b - 1.0, lx, 0.0
                     )
-                    col_off = kxi * dil + b - lo
+                    v = kxi * dil + b - lo
+                    if stride == 1:
+                        start = (u, v, 0)
+                    else:  # parity-plane addressing (stride 2)
+                        plane = (u & 1) * 2 + (v & 1)
+                        start = (u >> 1, v >> 1, plane * c)
                     sl = jax.lax.slice(
                         stripe,
-                        (row_off, col_off, 0),
-                        (row_off + r, col_off + wo, c),
+                        start,
+                        (start[0] + r, start[1] + wo, start[2] + c),
                     )
                     samp = samp + sl * (wy * wx).astype(stripe.dtype)
             acc = acc + jax.lax.dot_general(
@@ -126,11 +137,18 @@ def dcn_sample_conv_pallas(
     dilation: int,
     lo: int,
     hi: int,
+    stride: int = 1,
 ):
-    """Returns (out (Ho, Wo, Cout), flag (Ho, Wo) f32 0/1). stride==1 only.
+    """Returns (out (Ho, Wo, Cout), flag (Ho, Wo) f32 0/1). stride 1 or 2.
 
     (lo, hi): floor-displacement window bounds (symmetric m -> (-m, m);
-    the asym (-1, 0) window covers offsets in [-1, 1) with 9 shifts)."""
+    the asym (-1, 0) window covers offsets in [-1, 1) with 9 shifts).
+
+    stride 2 streams the padded map as 2x2 parity planes (space-to-depth,
+    channel slabs ordered (row parity, col parity)): input row 2i + U
+    lives at plane row i + (U>>1), so every select-MAC shift stays a
+    static contiguous VMEM slice at the OUTPUT resolution — the kernel
+    does the same work per output pixel as the stride-1 form."""
     h, w, c = (int(s) for s in feat.shape)
     ho, wo, _ = (int(s) for s in offsets.shape)
     cout = int(weight.shape[-1])
@@ -140,32 +158,56 @@ def dcn_sample_conv_pallas(
     # flatten feeding the MXU dot merges the row dims, which is only a safe
     # retile when the merged dim is a multiple of the 8-row sublane tile
     wop = -(-wo // 8) * 8
-    # row geometry: stripe length per block L = (R-1) + (kh-1)*dil + win
-    ell = (r - 1) + (kh - 1) * dilation + (hi - lo) + 2
+    pb = pad - lo
+    # largest padded-map offset the kernel slices at (U/V in kernel terms)
+    umax = (kh - 1) * dilation + (hi + 1 - lo)
+    vmax = (kw - 1) * dilation + (hi + 1 - lo)
+    if stride == 1:
+        # row geometry: stripe length per block L = (R-1) + (kh-1)*dil + win
+        ell = (r - 1) + umax + 1
+    elif stride == 2:
+        ell = (r - 1) + (umax >> 1) + 1
+    else:
+        raise ValueError(f"stride {stride} unsupported (1 or 2)")
     if ell > 2 * r:
         raise ValueError(f"window ({lo},{hi}) too large for R={r} row blocks")
-    pb = pad - lo
     rows_pad = (n_blocks + 1) * r
-    pa_y = rows_pad - pb - h
-    pa_x = max(0, (wop - 1) + (kw - 1) * dilation + hi + 2 - pad - w)
-    padmap = jnp.pad(feat, ((pb, pa_y), (pb, pa_x), (0, 0)))
     off_p = jnp.pad(
         offsets, ((0, n_blocks * r - ho), (0, wop - wo), (0, 0))
     )
 
+    if stride == 1:
+        pa_y = rows_pad - pb - h
+        pa_x = max(0, (wop - 1) + vmax + 1 - pb - w)
+        padmap = jnp.pad(feat, ((pb, pa_y), (pb, pa_x), (0, 0)))
+        wp = w + pb + pa_x
+        ck = c
+    else:
+        # parity planes: plane row i + (U>>1) for output rows up to
+        # rows_pad; plane col j + (V>>1) for output cols up to wop
+        wp = -(-(wop + (vmax >> 1) + 1) // 8) * 8
+        pa_y = 2 * rows_pad - pb - h
+        pa_x = 2 * wp - pb - w
+        padded = jnp.pad(feat, ((pb, pa_y), (pb, pa_x), (0, 0)))
+        padmap = (
+            padded.reshape(rows_pad, 2, wp, 2, c)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(rows_pad, wp, 4 * c)
+        )
+        ck = 4 * c
+
     kernel = functools.partial(
         _dcn_kernel,
         r=r, wo=wop, c=c, cout=cout, kh=kh, kw=kw, lo=lo, hi=hi,
-        h=float(h), w=float(w), pad=pad, dil=dilation,
+        h=float(h), w=float(w), pad=pad, dil=dilation, stride=stride,
         out_dtype=feat.dtype,
     )
-    wp = w + pb + pa_x
     out, flag = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((r, wp, c), lambda i: (i, 0, 0)),
-            pl.BlockSpec((r, wp, c), lambda i: (i + 1, 0, 0)),
+            pl.BlockSpec((r, wp, ck), lambda i: (i, 0, 0)),
+            pl.BlockSpec((r, wp, ck), lambda i: (i + 1, 0, 0)),
             pl.BlockSpec((r, wop, offsets.shape[-1]), lambda i: (i, 0, 0)),
             pl.BlockSpec((weight.shape[0], cout), lambda i: (0, 0)),
         ],
@@ -195,9 +237,10 @@ def dcn_conv_windowed(
     cap: int = FB_CAP,
     lo: int | None = None,
     hi: int | None = None,
+    stride: int = 1,
 ) -> Array:
-    """Fused windowed DCN conv (stride 1, deform_groups 1) with the exact
-    capped correction pass. Returns (N, Ho, Wo, Cout).
+    """Fused windowed DCN conv (stride 1 or 2, deform_groups 1) with the
+    exact capped correction pass. Returns (N, Ho, Wo, Cout).
 
     Window: floor-displacement bounds (lo, hi), default the symmetric
     (-m, m). The asymmetric (-1, 0) window (HTD_DCN_WIN=asym) covers
@@ -219,7 +262,7 @@ def dcn_conv_windowed(
     for img in range(n):
         off = offsets[img].astype(f32)
         out, flag = dcn_sample_conv_pallas(
-            x[img], off, wmat, kh, kw, pad, dilation, lo, hi
+            x[img], off, wmat, kh, kw, pad, dilation, lo, hi, stride
         )
         # exact correction for flagged pixels (top-cap compaction; zero add
         # when nothing is flagged — no cond, no windowed-value re-read)
@@ -231,8 +274,8 @@ def dcn_conv_windowed(
         px = (idx % wo).astype(f32)
         ky = jnp.arange(kh, dtype=f32) * dilation
         kx = jnp.arange(kw, dtype=f32) * dilation
-        base_y = py[:, None] - pad + jnp.repeat(ky, kw)[None, :]
-        base_x = px[:, None] - pad + jnp.tile(kx, kh)[None, :]
+        base_y = py[:, None] * stride - pad + jnp.repeat(ky, kw)[None, :]
+        base_x = px[:, None] * stride - pad + jnp.tile(kx, kh)[None, :]
         ys = base_y + off_px[:, 0::2]
         xs = base_x + off_px[:, 1::2]
         y0 = jnp.floor(ys)

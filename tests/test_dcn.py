@@ -265,3 +265,34 @@ def test_deform_conv2d_asym_env_dispatch(rng, monkeypatch):
         out = np.asarray(deform_conv2d(x, off, wgt))
     _pallas_dcn_fn.cache_clear()
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_kernel_stride2_matches_gather(rng, monkeypatch):
+    """The stride-2 parity-plane (space-to-depth) kernel variant + capped
+    correction matches the gather formulation, sym and asym windows,
+    including out-of-window offsets and odd input extents."""
+    import jax
+
+    from htd_tpu.ops import dcn_pallas
+
+    monkeypatch.setattr(dcn_pallas, "_INTERPRET", True)
+    with jax.default_matmul_precision("highest"):
+        for h, w in ((14, 17), (16, 16)):
+            ho = (h + 2 - 3) // 2 + 1
+            wo = (w + 2 - 3) // 2 + 1
+            x = jnp.asarray(
+                rng.normal(0, 1, (2, h, w, 8)).astype(np.float32))
+            wgt = jnp.asarray(
+                rng.normal(0, 0.5, (3, 3, 8, 16)).astype(np.float32))
+            for scale in (0.3, 2.5):
+                off = jnp.asarray(
+                    rng.normal(0, scale, (2, ho, wo, 18)).astype(np.float32))
+                ref = np.asarray(_dcn_xla_impl(
+                    x, off, wgt, 2, 1, 1, "gather", 1, 256))
+                for lo, hi in ((-1, 1), (-1, 0)):
+                    out = np.asarray(dcn_pallas.dcn_conv_windowed(
+                        x, off, wgt, pad=1, dilation=1, m=1, cap=256,
+                        lo=lo, hi=hi, stride=2))
+                    np.testing.assert_allclose(
+                        out, ref, rtol=1e-4, atol=1e-4,
+                        err_msg=f"h={h} w={w} scale={scale} win=({lo},{hi})")
