@@ -8,10 +8,29 @@ throughput derivation" for the full justification (mmdet-2.x model-zoo
 anchor points + a FLOP budget of HTD's extra per-roi work; 8.0 is the
 GENEROUS end of the 6-8 fps estimate, so vs_baseline is a lower bound).
 
-Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+Robustness (VERDICT r03 item 1 — the round-3 driver run timed out and
+recorded nothing):
+  * probe verdicts come from the committed probe_verdicts.json (no probe
+    compiles on a known platform), and the committed .cache/jax persistent
+    XLA cache makes the model compile a deserialization instead of a
+    tunnel round-trip;
+  * a deadline watchdog (HTD_BENCH_DEADLINE_S, default 300s wall) prints
+    the best measurement so far and exits 0 before any external timeout
+    can kill the process with an empty stdout (re-arming every 60s while
+    no measurement exists yet);
+  * exactly ONE json line is ever printed to stdout:
+    {"metric", "value", "unit", "vs_baseline", "mfu", ...}.
+
+MFU: value * FLOPS_PER_IMG / CHIP_PEAK_FLOPS, constants measured by
+tools/get_flops.py (XLA cost analysis of this exact program shape) and
+tools/calibrate_chip.py (slope-timed 8192^3 bf16 matmul on this chip) —
+see PERF.md "MFU accounting".
 """
 
 import json
+import os
+import sys
+import threading
 import time
 
 import numpy as np
@@ -19,8 +38,69 @@ import numpy as np
 # See BASELINE.md "Baseline throughput derivation".
 ASSUMED_PYTORCH_BASELINE_IPS = 8.0
 
+_emitted = False
+_best = None
+_lock = threading.Lock()
+
+
+def _emit_once():
+    """Print the single stdout JSON line (at most once, thread-safe)."""
+    global _emitted
+    with _lock:
+        if not _emitted and _best is not None:
+            print(json.dumps(_best), flush=True)
+            _emitted = True
+
+
+def _record(ips, phase, constants):
+    global _best
+    rec = {
+        "metric": "HTD R-50 COCO-shape inference images/sec/chip",
+        "value": round(ips, 3),
+        "unit": "img/s",
+        "vs_baseline": round(ips / ASSUMED_PYTORCH_BASELINE_IPS, 3),
+        "phase": phase,
+    }
+    flops = constants.get("flops_per_img")
+    peak = constants.get("chip_peak_flops")
+    if flops and peak:
+        rec["mfu"] = round(ips * flops / peak, 4)
+    with _lock:
+        _best = rec
+
 
 def main():
+    deadline = float(os.environ.get("HTD_BENCH_DEADLINE_S", "300"))
+    t0_wall = time.monotonic()
+
+    # Deadline watchdog: once a measurement exists, print it and exit 0
+    # before an external `timeout` can kill the process with empty stdout.
+    # With nothing measured yet (slow tunnel mid-compile) it re-arms — an
+    # early empty exit would be no better than being killed.
+    state = {"timer": None}
+
+    def watchdog():
+        if _best is None:
+            state["timer"] = threading.Timer(60.0, watchdog)
+            state["timer"].daemon = True
+            state["timer"].start()
+            return
+        print("[bench] deadline watchdog fired — emitting best-so-far",
+              file=sys.stderr, flush=True)
+        _emit_once()
+        os._exit(0)
+
+    state["timer"] = threading.Timer(max(30.0, deadline - 15.0), watchdog)
+    state["timer"].daemon = True
+    state["timer"].start()
+
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_constants.json")) as f:
+            constants = json.load(f)
+    except Exception:  # noqa: BLE001 — MFU is an extra; img/s must not die
+        constants = {}
+
     import jax
     import jax.numpy as jnp
 
@@ -28,9 +108,8 @@ def main():
     from htd_tpu.models.detector import HTDDetector
     from htd_tpu.utils.kernel_probe import probe_and_gate
 
-    # compile-probe the TPU-only Pallas kernels on tiny shapes first and
-    # fall back (env kill-switches) for any this platform's Mosaic rejects
-    # — the bench must degrade to XLA paths, not crash
+    # replay committed probe verdicts for this platform (compiles nothing
+    # on a cache hit); fresh platforms still probe + gate before the bench
     probe_and_gate()
 
     cfg = C.htd_r50_1x(compute_dtype="bfloat16")
@@ -67,27 +146,30 @@ def main():
 
     # warmup / compile (single program reused for both N values)
     float(run_n(variables, images, img_shapes, scale_factors, 1))
+    print(f"[bench] compile+warmup done at {time.monotonic() - t0_wall:.0f}s",
+          file=sys.stderr, flush=True)
 
     def timed(n):
         t0 = time.perf_counter()
         float(run_n(variables, images, img_shapes, scale_factors, n))
         return time.perf_counter() - t0
 
-    t_small = min(timed(2) for _ in range(3))
-    t_big = min(timed(12) for _ in range(3))
-    per_image = (t_big - t_small) / 10.0
-    ips = 1.0 / per_image
+    # first full pass -> provisional result the watchdog can fall back on
+    t_small = timed(2)
+    t_big = timed(12)
+    _record(10.0 / (t_big - t_small), "provisional", constants)
 
-    print(
-        json.dumps(
-            {
-                "metric": "HTD R-50 COCO-shape inference images/sec/chip",
-                "value": round(ips, 3),
-                "unit": "img/s",
-                "vs_baseline": round(ips / ASSUMED_PYTORCH_BASELINE_IPS, 3),
-            }
-        )
-    )
+    # refine: min-of-3 slope (re-using the provisional pass's samples)
+    for _ in range(2):
+        if time.monotonic() - t0_wall > deadline - 60.0:
+            break
+        t_small = min(t_small, timed(2))
+        t_big = min(t_big, timed(12))
+        _record(10.0 / (t_big - t_small), "refined", constants)
+
+    if state["timer"] is not None:
+        state["timer"].cancel()
+    _emit_once()
 
 
 if __name__ == "__main__":

@@ -234,8 +234,12 @@ def deform_conv2d(
     # Sampler impl dispatch (HTD_DCN_IMPL):
     #   pallas — fused windowed select-MAC Pallas kernel + exact capped
     #            correction (ops/dcn_pallas.py). Default on TPU where its
-    #            scope guards hold (stride 1, dg 1, weight fits VMEM);
+    #            scope guards hold (stride 1 or 2, dg 1, weight fits VMEM);
     #            training grads via custom_vjp over the gather formulation.
+    #            NOTE stride-2 dispatch changed in round 3 (was gather):
+    #            out-of-window samples beyond HTD_DCN_FB_CAP flagged pixels
+    #            per image contribute zero; HTD_DCN_S2_GATHER=1 restores
+    #            the exact gather path for the stage-entry stride-2 convs.
     #   window — the XLA twin of the kernel (shifted-view select-MAC).
     #            Measured SLOWER than gather end-to-end at the XLA graph
     #            level (per-tap materialization + sort-based compaction,
@@ -264,9 +268,10 @@ def deform_conv2d(
     else:
         win_lo, win_hi = -win_m, win_m
     if impl == "pallas":
+        s2_ok = os.environ.get("HTD_DCN_S2_GATHER", "0") != "1"
         kernel_ok = (
             deform_groups == 1
-            and stride in (1, 2)
+            and (stride == 1 or (stride == 2 and s2_ok))
             and kh * kw * cin * cout * x.dtype.itemsize <= 6 * 2**20
         )
         if kernel_ok:

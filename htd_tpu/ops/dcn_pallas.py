@@ -24,10 +24,11 @@ with the bilinear sampling done by the *windowed select-MAC* scheme (see
     a zero add, which is the permanent state for mmcv's zero-initialized
     offset convs and the common state for trained detection backbones).
 
-Scope guards (callers fall back to the gather path otherwise): stride 1
-(27 of the 30 R-101-DCN convs; the three stage-entry stride-2 convs keep
-the gather form), deform_groups 1 (all HTD configs), weight small enough
-to sit in VMEM.
+Scope guards (callers fall back to the gather path otherwise): stride in
+(1, 2) — stride 2 covers the three stage-entry convs via parity-plane
+(space-to-depth) stripes; deform_groups 1 (all HTD configs); weight small
+enough to sit in VMEM. The asymmetric window (lo, hi) variant (e.g.
+HTD_DCN_WIN=asym -> (-1, 0)) trades shift count for correction-pass load.
 """
 
 from __future__ import annotations
@@ -188,6 +189,11 @@ def dcn_sample_conv_pallas(
         wp = -(-(wop + (vmax >> 1) + 1) // 8) * 8
         pa_y = 2 * rows_pad - pb - h
         pa_x = 2 * wp - pb - w
+        if pa_y < 0 or pa_x < 0:
+            raise ValueError(
+                f"stride-2 geometry does not fit: pad_after=({pa_y},{pa_x}) "
+                f"for H,W=({h},{w}), pad={pad}, window=({lo},{hi})"
+            )
         padded = jnp.pad(feat, ((pb, pa_y), (pb, pa_x), (0, 0)))
         padmap = (
             padded.reshape(rows_pad, 2, wp, 2, c)
@@ -245,6 +251,8 @@ def dcn_conv_windowed(
     Window: floor-displacement bounds (lo, hi), default the symmetric
     (-m, m). The asymmetric (-1, 0) window (HTD_DCN_WIN=asym) covers
     offsets in [-1, 1) with 9 select-MAC shifts instead of 16."""
+    if (lo is None) != (hi is None):
+        raise ValueError("lo and hi must be provided together")
     if lo is None:
         lo, hi = -m, m
     from htd_tpu.ops.dcn import _bilinear_gather

@@ -48,13 +48,71 @@ def enable_compile_cache() -> None:
         print(f"[kernel_probe] compile cache disabled: {e}")
 
 
-def probe_and_gate(verbose: bool = True) -> dict:
+def _cache_path() -> str:
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), "probe_verdicts.json")
+
+
+def _cache_key() -> str:
+    import jax
+
+    kind = jax.devices()[0].device_kind if jax.devices() else "?"
+    return f"{jax.default_backend()}/{kind}/jax-{jax.__version__}"
+
+
+def _apply_gates(results: dict) -> None:
+    """Re-apply the env kill-switches a previous probe run decided on."""
+    for name, verdict in results.items():
+        if verdict == "ok":
+            continue
+        env = verdict.split("-> ", 1)[-1].split("=", 1)[0]
+        if env and env != verdict:
+            os.environ[env] = "1"
+        if name == "dcn_windowed":
+            os.environ["HTD_DCN_IMPL"] = "gather"
+        if name == "v4_packed":
+            os.environ["HTD_V4_PACKED"] = "0"
+
+
+def probe_and_gate(verbose: bool = True, use_cache: bool = True) -> dict:
+    """Compile-probe the Pallas kernels (or replay a committed verdict).
+
+    Probe verdicts are persisted to probe_verdicts.json keyed by
+    (backend, device kind, jax version) so repeat tool/benchmark runs on a
+    known platform skip the probe compiles entirely (VERDICT r03 item 1:
+    bench.py must not spend its driver budget re-validating kernels).
+    """
+    import json
+
     import jax
 
     enable_compile_cache()
     results = {}
     if jax.default_backend() == "cpu":
         return results
+    key = _cache_key()
+    if use_cache and os.environ.get("HTD_PROBE_FORCE", "0") != "1":
+        try:
+            with open(_cache_path()) as f:
+                cache = json.load(f)
+        except Exception:  # noqa: BLE001 — missing/corrupt cache
+            cache = {}
+        hit = cache.get(key)
+        # the opt-in probes are keyed into the verdict set; a cache entry is
+        # only replayable if it covers every probe the current env enables
+        want = {"pyramid_builder"}
+        if os.environ.get("HTD_PALLAS_UPSAMPLE", "0") == "1":
+            want.add("upsample2x_add")
+        if os.environ.get("HTD_DCN_IMPL", "") in ("", "pallas"):
+            want.add("dcn_windowed")
+        if os.environ.get("HTD_V4_PACKED", "0") == "1":
+            want.add("v4_packed")
+        if hit is not None and want <= set(hit):
+            _apply_gates(hit)
+            if verbose:
+                print(f"[kernel_probe] cached verdicts for {key}: {hit}")
+            return hit
     import jax.numpy as jnp
 
     rng = np.random.RandomState(0)
@@ -147,4 +205,16 @@ def probe_and_gate(verbose: bool = True) -> dict:
         if "v4_packed" in results and results["v4_packed"] != "ok":
             os.environ["HTD_V4_PACKED"] = "0"
 
+    if use_cache:
+        try:
+            try:
+                with open(_cache_path()) as f:
+                    cache = json.load(f)
+            except Exception:  # noqa: BLE001
+                cache = {}
+            cache[key] = results
+            with open(_cache_path(), "w") as f:
+                json.dump(cache, f, indent=1, sort_keys=True)
+        except Exception as e:  # noqa: BLE001 — cache write is best-effort
+            print(f"[kernel_probe] verdict cache write failed: {e}")
     return results

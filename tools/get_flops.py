@@ -18,6 +18,9 @@ def main():
     p.add_argument("--config", default="htd_r50_1x")
     p.add_argument("--height", type=int, default=768)
     p.add_argument("--width", type=int, default=1344)
+    p.add_argument("--dtype", default=None,
+                   help="compute_dtype override (e.g. bfloat16 to cost the "
+                        "exact program bench.py times)")
     args = p.parse_args()
 
     import jax
@@ -27,6 +30,8 @@ def main():
     from htd_tpu.apis import init_detector
 
     cfg = getattr(C, args.config)()
+    if args.dtype:
+        cfg = cfg.replace(compute_dtype=args.dtype)
     model, variables = init_detector(cfg)
     nparams = sum(x.size for x in jax.tree_util.tree_leaves(variables["params"]))
 
@@ -34,9 +39,12 @@ def main():
     shapes = jnp.asarray([[args.height - 18.0, args.width - 11.0]])
     sfs = jnp.ones((1, 4))
 
+    # variables must be an ARGUMENT (closing over them bakes the weights
+    # into the HLO as constants — a >100MB upload the remote-compile
+    # tunnel rejects with HTTP 413)
     lowered = jax.jit(
-        lambda im, sh, sf: model.apply(variables, im, sh, sf)
-    ).lower(images, shapes, sfs)
+        lambda v, im, sh, sf: model.apply(v, im, sh, sf)
+    ).lower(variables, images, shapes, sfs)
     analysis = lowered.compile().cost_analysis()
     flops = analysis.get("flops", float("nan")) if analysis else float("nan")
     print(f"params: {nparams / 1e6:.2f} M")
