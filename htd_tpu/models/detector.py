@@ -437,9 +437,24 @@ class HTDDetector(nn.Module):
         gt_boxes: Array,     # (B, G, 4) padded
         gt_labels: Array,    # (B, G) int32
         gt_valid: Array,     # (B, G) bool
+        overrides: Optional[Dict[str, Array]] = None,
     ) -> Dict[str, Array]:
+        """Training losses (reference two_stage.py:107-170 +
+        htd_roi_head.py:217-317 orchestration).
+
+        `overrides` is the torch-oracle parity hook (VERDICT r03 item 2):
+        a dict that may inject "proposals"/"proposal_valid" (skipping
+        gen_proposals), "rpn_keep_pos"/"rpn_keep_neg"/"rpn_matched_gt"
+        (B, A) (skipping RPN assign/sample), and for s in {s0, s1}
+        "{s}_idx"/"{s}_valid"/"{s}_is_pos"/"{s}_is_gt"/"{s}_gt_inds"
+        (B, num) sampled-roi injections (skipping the stage's
+        assign/sample; indices address concat([gt, candidates])). This
+        makes both implementations consume IDENTICAL sampled sets so loss
+        terms and gradients are directly comparable.
+        """
         c = self.cfg
         tc = c.train
+        ov = overrides or {}
         key = self.make_rng("sampling")
         b = images.shape[0]
         losses: Dict[str, Array] = {}
@@ -450,20 +465,29 @@ class HTDDetector(nn.Module):
 
         # ---- RPN losses
         k_rpn, k_s0, k_s1 = jax.random.split(key, 3)
+        rpn_inj = None
+        if "rpn_keep_pos" in ov:
+            rpn_inj = (
+                ov["rpn_keep_pos"], ov["rpn_keep_neg"], ov["rpn_matched_gt"]
+            )
         rpn_cls_loss, rpn_bbox_loss = self._rpn_loss(
-            rpn_scores, rpn_deltas, img_shapes, gt_boxes, gt_valid, k_rpn
+            rpn_scores, rpn_deltas, img_shapes, gt_boxes, gt_valid, k_rpn,
+            inj=rpn_inj,
         )
         losses["loss_rpn_cls"] = rpn_cls_loss
         losses["loss_rpn_bbox"] = rpn_bbox_loss
 
         # ---- proposals (no grad into RPN through boxes)
-        props, prop_scores, prop_valid = gen_proposals(
-            [jax.lax.stop_gradient(s) for s in rpn_scores],
-            [jax.lax.stop_gradient(d) for d in rpn_deltas],
-            self.anchor_gen,
-            img_shapes,
-            tc.rpn_proposal,
-        )
+        if "proposals" in ov:
+            props, prop_valid = ov["proposals"], ov["proposal_valid"]
+        else:
+            props, prop_scores, prop_valid = gen_proposals(
+                [jax.lax.stop_gradient(s) for s in rpn_scores],
+                [jax.lax.stop_gradient(d) for d in rpn_deltas],
+                self.anchor_gen,
+                img_shapes,
+                tc.rpn_proposal,
+            )
 
         # ---- SFA / global context
         glb_logits, global_feat = self._global(feats)
@@ -477,13 +501,17 @@ class HTDDetector(nn.Module):
 
         # ---- stage 0
         s0_train = c.train.rcnn[0]
-        keys0 = jax.random.split(k_s0, b)
-        samp0 = jax.vmap(
-            lambda kk, pb, pv, gb, gv, gl: sample_random(
-                kk, pb, pv, gb, gv, gl,
-                s0_train.assigner, s0_train.sampler, tc.rcnn_pos_cap, c.num_classes,
-            )
-        )(keys0, props, prop_valid, gt_boxes, gt_valid, gt_labels)
+        if "s0_idx" in ov:
+            samp0 = self._injected_sample(ov, "s0", props, gt_boxes, gt_labels)
+        else:
+            keys0 = jax.random.split(k_s0, b)
+            samp0 = jax.vmap(
+                lambda kk, pb, pv, gb, gv, gl: sample_random(
+                    kk, pb, pv, gb, gv, gl,
+                    s0_train.assigner, s0_train.sampler, tc.rcnn_pos_cap,
+                    c.num_classes,
+                )
+            )(keys0, props, prop_valid, gt_boxes, gt_valid, gt_labels)
 
         s0_cls, s0_reg = self._stage0(feats4, samp0.rois, global_feat)
         lw0 = tc.stage_loss_weights[0]
@@ -508,13 +536,17 @@ class HTDDetector(nn.Module):
 
         # ---- stage 1
         s1_train = c.train.rcnn[1]
-        keys1 = jax.random.split(k_s1, b)
-        samp1 = jax.vmap(
-            lambda kk, pb, pv, gb, gv, gl: sample_random(
-                kk, pb, pv, gb, gv, gl,
-                s1_train.assigner, s1_train.sampler, tc.rcnn_pos_cap, c.num_classes,
-            )
-        )(keys1, refined, refined_valid, gt_boxes, gt_valid, gt_labels)
+        if "s1_idx" in ov:
+            samp1 = self._injected_sample(ov, "s1", refined, gt_boxes, gt_labels)
+        else:
+            keys1 = jax.random.split(k_s1, b)
+            samp1 = jax.vmap(
+                lambda kk, pb, pv, gb, gv, gl: sample_random(
+                    kk, pb, pv, gb, gv, gl,
+                    s1_train.assigner, s1_train.sampler, tc.rcnn_pos_cap,
+                    c.num_classes,
+                )
+            )(keys1, refined, refined_valid, gt_boxes, gt_valid, gt_labels)
 
         pos_cap = tc.rcnn_pos_cap
         pos_rois = samp1.rois[:, :pos_cap]
@@ -549,10 +581,28 @@ class HTDDetector(nn.Module):
 
     # ------------------------------------------------------------------
 
-    def _rpn_loss(self, level_scores, level_deltas, img_shapes, gt_boxes, gt_valid, key):
+    def _injected_sample(self, ov, s, candidates, gt_boxes, gt_labels):
+        """Batched sample_from_injection over the ov[f"{s}_*"] arrays."""
+        from htd_tpu.train.sampling import sample_from_injection
+
+        cand = jnp.concatenate([gt_boxes, candidates], axis=1)
+        return jax.vmap(
+            lambda cb, gb, gl, idx, v, ip, ig, gi: sample_from_injection(
+                cb, gb, gl, idx, v, ip, ig, gi, self.cfg.num_classes
+            )
+        )(
+            cand, gt_boxes, gt_labels,
+            ov[f"{s}_idx"], ov[f"{s}_valid"], ov[f"{s}_is_pos"],
+            ov[f"{s}_is_gt"], ov[f"{s}_gt_inds"],
+        )
+
+    def _rpn_loss(self, level_scores, level_deltas, img_shapes, gt_boxes,
+                  gt_valid, key, inj=None):
         """Assign/sample anchors and compute RPN losses (flat over levels).
 
         Behavioral spec: anchor_head.py:142-418 + rpn allowed_border=0.
+        `inj` optionally injects (keep_pos, keep_neg, matched_gt) (B, A)
+        arrays in place of assign/sample (torch-oracle parity hook).
         """
         c = self.cfg
         tc = c.train
@@ -617,8 +667,29 @@ class HTDDetector(nn.Module):
             box_w = keep_pos.astype(jnp.float32)
             return cls_t, cls_w, tgt, box_w
 
-        keys = jax.random.split(key, b)
-        cls_t, cls_w, box_t, box_w = jax.vmap(one)(keys, img_shapes, gt_boxes, gt_valid)
+        if inj is not None:
+            keep_pos, keep_neg, matched_gt = inj
+
+            def one_inj(kp, kn, mg, gb):
+                gt_for_anchor = jnp.where(kp[:, None], gb[mg], anchors)
+                tgt = bbox2delta(
+                    anchors, gt_for_anchor, c.rpn.coder.means, c.rpn.coder.stds
+                )
+                return (
+                    kp.astype(jnp.float32),
+                    (kp | kn).astype(jnp.float32),
+                    tgt,
+                    kp.astype(jnp.float32),
+                )
+
+            cls_t, cls_w, box_t, box_w = jax.vmap(one_inj)(
+                keep_pos, keep_neg, matched_gt, gt_boxes
+            )
+        else:
+            keys = jax.random.split(key, b)
+            cls_t, cls_w, box_t, box_w = jax.vmap(one)(
+                keys, img_shapes, gt_boxes, gt_valid
+            )
         num_total = jnp.sum(cls_w)
         loss_cls = L.sigmoid_bce(flat_scores, cls_t, cls_w, num_total)
         loss_bbox = L.smooth_l1_loss(

@@ -256,9 +256,14 @@ class HTDBBoxHead(nn.Module):
         else:
             x_base = x_plain
 
-        k0 = jax.lax.stop_gradient(stage0_cls_kernel.astype(x_plain.dtype))
-        b0 = jax.lax.stop_gradient(stage0_cls_bias.astype(x_plain.dtype))
-        prototype = jnp.concatenate([k0.T, b0[:, None]], axis=1)  # (C+1, F+1)
+        # reference (htd_bbox_head.py:158,194): the PROTOTYPE is detached,
+        # but fc_cls_0(x_cls) is a live module call — gradients flow into
+        # the stage-0 classifier (and x_cls) through the SAM projection
+        k0 = stage0_cls_kernel.astype(x_plain.dtype)
+        b0 = stage0_cls_bias.astype(x_plain.dtype)
+        prototype = jax.lax.stop_gradient(
+            jnp.concatenate([k0.T, b0[:, None]], axis=1)  # (C+1, F+1)
+        )
         p = jax.nn.softmax(x_plain @ k0 + b0, axis=-1)  # (B, R, C+1)
         sam = p @ prototype  # (B, R, F+1)
 

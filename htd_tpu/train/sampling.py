@@ -98,6 +98,41 @@ def _select_k(key: Array, mask: Array, k: int) -> Tuple[Array, Array]:
     return idx.astype(jnp.int32), top >= 0.0
 
 
+def sample_from_injection(
+    cand_boxes: Array,     # (N, 4) candidate rois (gt-prepended when the
+                           # sampler would prepend gts)
+    gt_boxes: Array,       # (G, 4)
+    gt_labels: Array,      # (G,)
+    idx: Array,            # (num,) int32 into cand_boxes
+    valid: Array,          # (num,) bool
+    is_pos: Array,         # (num,) bool — positives MUST occupy the first slots
+    is_gt: Array,          # (num,) bool
+    gt_inds: Array,        # (num,) int32 0-based matched gt (0 where not pos)
+    num_classes: int,
+) -> SampleResult:
+    """Build a SampleResult from externally-chosen indices.
+
+    Test hook for torch-oracle training parity (VERDICT r03 item 2): both
+    implementations receive IDENTICAL sampled indices, sidestepping RNG, so
+    loss terms and gradients can be compared directly. The injected layout
+    must follow the pos-first convention of `sample_random`.
+    """
+    rois = cand_boxes[idx]
+    labels = jnp.where(
+        is_pos, gt_labels[gt_inds], num_classes
+    ).astype(jnp.int32)
+    pos_gt_boxes = jnp.where(is_pos[:, None], gt_boxes[gt_inds], 0.0)
+    return SampleResult(
+        rois=rois,
+        valid=valid,
+        is_pos=is_pos,
+        is_gt=is_gt,
+        gt_inds=jnp.where(is_pos, gt_inds, 0).astype(jnp.int32),
+        labels=labels,
+        pos_gt_boxes=pos_gt_boxes,
+    )
+
+
 def sample_random(
     key: Array,
     boxes: Array,          # (N, 4) candidate proposals

@@ -110,7 +110,11 @@ def roi_align_t(feat_nchw, rois, spatial_scale, out_size=7, sampling_ratio=0):
 
     feat (1, C, H, W) single image; rois (R, 4) in image coords.
     """
-    feat = feat_nchw[0].permute(1, 2, 0).numpy().astype(np.float64)
+    # NOTE: detach cuts autograd INTO the aligned features. Downstream
+    # grads (roi-head fcs/convs, and the RPN path which never crosses
+    # RoIAlign) stay exact; only backbone/FPN grads THROUGH roi features
+    # are unavailable from this oracle (test_train_parity.py respects that).
+    feat = feat_nchw[0].detach().permute(1, 2, 0).numpy().astype(np.float64)
     out = np_roi_align_fast(feat, rois.numpy().astype(np.float64),
                        spatial_scale, out_size, sampling_ratio)
     return torch.from_numpy(out).permute(0, 3, 1, 2).float()
@@ -443,11 +447,12 @@ class TorchSingleRoIExtractor(nn.Module):
         out = feats[0].new_zeros(
             rois5.size(0), feats[0].size(1), self.out_size, self.out_size)
         for i, stride in enumerate(self.strides):
-            mask = lvls == i
-            if mask.any():
-                out[mask] = roi_align_t(
-                    feats[i], rois5[mask, 1:], 1.0 / stride,
-                    self.out_size, self.sampling_ratio)
+            for b in range(feats[i].shape[0]):
+                mask = (lvls == i) & (rois5[:, 0].long() == b)
+                if mask.any():
+                    out[mask] = roi_align_t(
+                        feats[i][b:b + 1], rois5[mask, 1:], 1.0 / stride,
+                        self.out_size, self.sampling_ratio)
         return out
 
 
@@ -467,18 +472,28 @@ class TorchAdptRoIExtractor(nn.Module):
     def att(self, x):
         return self.conv2(torch.tanh(self.conv1(F.adaptive_avg_pool2d(x, 1))))
 
+    def _align(self, feat, rois5, stride):
+        """Per-image-aware RoIAlign over a batched level map."""
+        out = feat.new_zeros(rois5.size(0), feat.size(1), self.out_size,
+                             self.out_size)
+        for b in range(feat.shape[0]):
+            mask = rois5[:, 0].long() == b
+            if mask.any():
+                out[mask] = roi_align_t(
+                    feat[b:b + 1], rois5[mask, 1:], 1.0 / stride,
+                    self.out_size, self.sampling_ratio)
+        return out
+
     def forward(self, feats, rois5):
         per_level, atts = [], []
         for i, stride in enumerate(self.strides):
-            rf = roi_align_t(feats[i], rois5[:, 1:], 1.0 / stride,
-                             self.out_size, self.sampling_ratio)
+            rf = self._align(feats[i], rois5, stride)
             atts.append(self.att(rf).reshape(-1).unsqueeze(0))
             per_level.append(rf.unsqueeze(0))
         roi_feat = torch.cat(per_level, dim=0)  # (L, N, C, 7, 7)
         atts = torch.cat(atts, dim=0).softmax(0)  # (L, N)
         fused = (atts[:, :, None, None, None] * roi_feat).sum(0)
-        enhance = roi_align_t(feats[0], rois5[:, 1:], 1.0 / self.strides[0],
-                              self.out_size, self.sampling_ratio)
+        enhance = self._align(feats[0], rois5, self.strides[0])
         e = self.edge
         enhance[:, :, e:-e, e:-e] = 0
         return fused + enhance
