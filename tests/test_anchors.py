@@ -1,8 +1,12 @@
 import numpy as np
+import pytest
+
 import jax.numpy as jnp
 
 from htd_tpu.ops.anchors import AnchorGenerator, anchor_inside_flags
 from tests.oracles import np_base_anchors
+
+pytestmark = pytest.mark.fast
 
 
 def test_base_anchors_match_oracle():

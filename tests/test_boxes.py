@@ -1,8 +1,12 @@
 import numpy as np
+import pytest
+
 import jax.numpy as jnp
 
 from htd_tpu.ops import boxes as B
 from tests.oracles import np_delta2bbox, np_iou
+
+pytestmark = pytest.mark.fast
 
 
 def test_delta2bbox_reference_example():

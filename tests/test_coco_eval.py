@@ -1,6 +1,10 @@
 import numpy as np
 
+import pytest
+
 from htd_tpu.data.coco_eval import evaluate_coco_map
+
+pytestmark = pytest.mark.fast
 
 
 def _det(boxes, scores, labels):

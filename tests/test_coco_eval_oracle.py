@@ -7,8 +7,11 @@ image/class, empty images, det-only images.
 import numpy as np
 import pytest
 
+
 from tests import cocoeval_oracle as oracle
 from htd_tpu.data.coco_eval import evaluate_coco_map
+
+pytestmark = pytest.mark.fast
 
 NUM_CLASSES = 10
 

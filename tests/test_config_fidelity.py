@@ -6,7 +6,11 @@ the rebuild silently trains or tests a different recipe than the one that
 produced the published 50.4 AP.
 """
 
+import pytest
+
 from htd_tpu import config as C
+
+pytestmark = pytest.mark.fast
 
 
 def test_grad_clip_is_none_everywhere():

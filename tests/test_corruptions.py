@@ -18,6 +18,8 @@ from htd_tpu.data.corruptions import (
     corrupt,
 )
 
+pytestmark = pytest.mark.fast
+
 
 def _img(seed=0, h=96, w=128):
     rng = np.random.RandomState(seed)

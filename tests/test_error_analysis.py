@@ -23,6 +23,8 @@ from htd_tpu.data.coco_eval import (
     precision_curves,
 )
 
+pytestmark = pytest.mark.fast
+
 
 def _fixture(seed=0, n_imgs=8, n_cats=3, gts_per_img=6, dets_per_img=12):
     rng = np.random.RandomState(seed)

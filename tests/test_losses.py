@@ -1,9 +1,13 @@
 import numpy as np
+import pytest
+
 import torch
 import torch.nn.functional as F
 import jax.numpy as jnp
 
 from htd_tpu.train import losses as L
+
+pytestmark = pytest.mark.fast
 
 
 def test_softmax_ce_matches_torch(rng):

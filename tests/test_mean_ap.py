@@ -1,6 +1,10 @@
 import numpy as np
 
+import pytest
+
 from htd_tpu.data.mean_ap import average_precision, eval_map, eval_recalls
+
+pytestmark = pytest.mark.fast
 
 
 def test_average_precision_area():

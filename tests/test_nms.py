@@ -1,9 +1,13 @@
 import numpy as np
+import pytest
+
 import jax
 import jax.numpy as jnp
 
 from htd_tpu.ops import nms as N
 from tests.oracles import np_greedy_nms, np_iou, np_soft_nms
+
+pytestmark = pytest.mark.fast
 
 
 def _rand_boxes(rng, n, size=100.0):

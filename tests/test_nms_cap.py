@@ -3,11 +3,15 @@ weak #7): with 3000+ above-threshold (roi, class) candidates the capped
 top-k selection must still reproduce the uncapped reference outcome.
 """
 
+import pytest
+
 import numpy as np
 import jax.numpy as jnp
 
 from htd_tpu.ops.nms import multiclass_nms
 from tests.oracles import np_greedy_nms
+
+pytestmark = pytest.mark.fast
 
 
 def _dense_fixture(seed=0, n_rois=400, n_classes=80, n_hot=3200):

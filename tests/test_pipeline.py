@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 
 from htd_tpu.data.pipeline import (
     MEAN_RGB,
@@ -8,6 +9,8 @@ from htd_tpu.data.pipeline import (
     preprocess,
     rescale_size,
 )
+
+pytestmark = pytest.mark.fast
 
 
 def test_rescale_size_landscape():

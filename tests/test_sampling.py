@@ -1,9 +1,13 @@
 import numpy as np
+import pytest
+
 import jax
 import jax.numpy as jnp
 
 from htd_tpu.config import AssignerConfig, SamplerConfig
 from htd_tpu.train.sampling import assign_max_iou, sample_random
+
+pytestmark = pytest.mark.fast
 
 
 def _pad(a, n, dim0):

@@ -1,11 +1,15 @@
 """Tiled exact top-k == jax.lax.top_k (values always; indices on unique
 values)."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from htd_tpu.ops.topk import top_k_tiled
+
+pytestmark = pytest.mark.fast
 
 
 def test_matches_flat_topk(rng):

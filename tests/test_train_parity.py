@@ -201,6 +201,7 @@ LOSS_KEYS = ("loss_rpn_cls", "loss_rpn_bbox", "loss_global",
              "s0.loss_cls", "s0.loss_bbox", "s1.loss_cls", "s1.loss_bbox")
 
 
+@pytest.mark.fast
 def test_loss_terms_match(pair):
     cfg, tm, jm, variables, t_losses, record, ov, inp = pair
     j_losses = jm.apply(
