@@ -48,27 +48,17 @@ def _interp_acc_dtype(feat_dtype):
     return feat_dtype
 
 
-def _roi_align_core(
-    feat_flat: Array,       # (N, C) flattened feature rows
-    rois: Array,            # (R, 4) xyxy in image coords
-    scale: Array,           # (R,) spatial scale per roi
-    fh: Array,              # (R,) feature height per roi (float32)
-    fw: Array,              # (R,) feature width per roi (float32)
-    row_offset: Array,      # (R,) int32 offset of the roi's level in feat_flat
-    out_size: int,
-    sampling_ratio: int,
-    max_samples: int,
-    row_stride: Array = None,  # (R,) flat-index stride between feature rows
-                               # (defaults to fw: densely packed levels);
-                               # pass the pyramid W_pad to gather straight
-                               # from a width-padded pyramid buffer
-    quad: bool = False,        # feat_flat is a quad-concat map (N, 4C):
-                               # row i = [f[i], f[i+1], f[i+stride],
-                               # f[i+stride+1]] — ONE wide gather fetches a
-                               # sample's whole 2x2 corner neighborhood
-) -> Array:
+def _sample_geometry(rois, scale, fh, fw, out_size, sampling_ratio,
+                     max_samples):
+    """Per-roi adaptive sample positions + bilinear corner tables.
+
+    The single source of the mmcv `aligned=True` sampling_ratio=0 border
+    semantics, shared by the forward gather core and the corner-folded
+    backward (`roi_align_pyramid_batched_grad_feats`). Returns, per axis,
+    (low, high, l, h, sample_mask, inside) with shapes (R, out, S), plus
+    the per-roi adaptive grid counts (R,).
+    """
     r = rois.shape[0]
-    c = feat_flat.shape[-1] // (4 if quad else 1)
     oh = ow = out_size
     s = int(sampling_ratio) if sampling_ratio > 0 else int(max_samples)
     f32 = jnp.float32
@@ -113,6 +103,40 @@ def _roi_align_core(
     x_low, x_high, lx, x_in = axis_interp(x, size_w)
     y_low, y_high, ly, y_in = axis_interp(y, size_h)
     hx, hy = 1.0 - lx, 1.0 - ly
+    return (x_low, x_high, lx, hx, mx, x_in,
+            y_low, y_high, ly, hy, my, y_in,
+            grid_w, grid_h)
+
+
+def _roi_align_core(
+    feat_flat: Array,       # (N, C) flattened feature rows
+    rois: Array,            # (R, 4) xyxy in image coords
+    scale: Array,           # (R,) spatial scale per roi
+    fh: Array,              # (R,) feature height per roi (float32)
+    fw: Array,              # (R,) feature width per roi (float32)
+    row_offset: Array,      # (R,) int32 offset of the roi's level in feat_flat
+    out_size: int,
+    sampling_ratio: int,
+    max_samples: int,
+    row_stride: Array = None,  # (R,) flat-index stride between feature rows
+                               # (defaults to fw: densely packed levels);
+                               # pass the pyramid W_pad to gather straight
+                               # from a width-padded pyramid buffer
+    quad: bool = False,        # feat_flat is a quad-concat map (N, 4C):
+                               # row i = [f[i], f[i+1], f[i+stride],
+                               # f[i+stride+1]] — ONE wide gather fetches a
+                               # sample's whole 2x2 corner neighborhood
+) -> Array:
+    r = rois.shape[0]
+    c = feat_flat.shape[-1] // (4 if quad else 1)
+    oh = ow = out_size
+    s = int(sampling_ratio) if sampling_ratio > 0 else int(max_samples)
+    f32 = jnp.float32
+
+    (x_low, x_high, lx, hx, mx, x_in,
+     y_low, y_high, ly, hy, my, y_in,
+     grid_w, grid_h) = _sample_geometry(
+        rois, scale, fh, fw, out_size, sampling_ratio, max_samples)
 
     w_row = (fw if row_stride is None else row_stride).astype(jnp.int32)
     base = row_offset.astype(jnp.int32)
@@ -345,6 +369,94 @@ def roi_align_pyramid_batched(
         max_samples=max_samples,
     )
     return out.reshape(b, r, out_size, out_size, c)
+
+
+def roi_align_pyramid_batched_grad_feats(
+    feats: Sequence[Array],
+    rois: Array,
+    strides: Sequence[int],
+    target_lvls: Array,
+    g: Array,                      # (B, R, out, out, C) cotangent
+    out_size: int = 7,
+    sampling_ratio: int = 0,
+    max_samples: int = 4,
+):
+    """d(loss)/d(feats) for `roi_align_pyramid_batched` — corner-FOLDED.
+
+    The autodiff backward of the gather formulation is a scatter-add of
+    R*49*S^2*4 sample-corner rows, which XLA lowers as sort + segmented
+    sum at a cost proportional to the ROW COUNT (~54 ms per extraction in
+    the b2 768x1344 train step, 50% of the whole step — round-4 xplane).
+    A sample's four bilinear corners sit at flat rows {p, p+1, p+W, p+W+1}
+    of its level map, so they fold into ONE scatter row of 4C width at the
+    base corner p; the staggered buffer is then un-staggered with three
+    zero-padded shifted adds per (image, level) plane. 4x fewer scatter
+    rows, identical math (border-clamped +1 corners carry frac=0 weight,
+    so their misdirected rows add exact zeros — same rule the forward's
+    clip-mode gather relies on).
+    """
+    b, r = rois.shape[0], rois.shape[1]
+    c = feats[0].shape[-1]
+    oh = ow = out_size
+    s = int(sampling_ratio) if sampling_ratio > 0 else int(max_samples)
+    f32 = jnp.float32
+    hs = np.array([f.shape[1] for f in feats], np.float32)
+    ws = np.array([f.shape[2] for f in feats], np.float32)
+    sizes = [int(f.shape[1] * f.shape[2]) for f in feats]
+    img_size = int(np.sum(sizes))
+    lvl_offs = np.concatenate([[0], np.cumsum(sizes)])[:-1].astype(np.int32)
+    scales = np.array([1.0 / st for st in strides], np.float32)
+
+    lv = target_lvls.reshape(-1)
+    img_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), r)
+    rois_flat = rois.reshape(-1, 4)
+    fh = jnp.asarray(hs)[lv]
+    fw = jnp.asarray(ws)[lv]
+    base = jnp.asarray(lvl_offs)[lv] + img_idx * img_size
+
+    (x_low, _, lx, hx, mx, x_in,
+     y_low, _, ly, hy, my, y_in,
+     grid_w, grid_h) = _sample_geometry(
+        rois_flat, jnp.asarray(scales)[lv], fh, fw,
+        out_size, sampling_ratio, max_samples)
+
+    wy = jnp.stack([hy, ly], axis=-1) * (my & y_in)[..., None].astype(f32)
+    wx = jnp.stack([hx, lx], axis=-1) * (mx & x_in)[..., None].astype(f32)
+    count = jnp.maximum((grid_h * grid_w).astype(f32), 1.0)
+    gg = (g.reshape(-1, oh, ow, c).astype(f32)
+          / count[:, None, None, None])
+
+    # folded corner values: (N, oh, ow, Sy, Sx, 4, C) -> rows of 4C
+    w4 = (wy[:, :, None, :, None, :, None]        # (N, oh, 1, Sy, 1, 2, 1)
+          * wx[:, None, :, None, :, None, :])     # (N, 1, ow, 1, Sx, 1, 2)
+    w4 = w4.reshape(-1, oh, ow, s, s, 4)
+    dtype = feats[0].dtype
+    vals = (w4[..., None] * gg[:, :, :, None, None, None, :]).astype(dtype)
+    vals = vals.reshape(-1, 4 * c)
+
+    w_row = fw.astype(jnp.int32)
+    p00 = (base[:, None, None, None, None]
+           + y_low[:, :, None, :, None] * w_row[:, None, None, None, None]
+           + x_low[:, None, :, None, :])          # (N, oh, ow, Sy, Sx)
+    rows4 = jnp.zeros((b * img_size, 4 * c), dtype)
+    rows4 = rows4.at[p00.reshape(-1)].add(vals)
+
+    # un-stagger per (image, level) plane: d[y, x] = c00[y, x] +
+    # c01[y, x-1] + c10[y-1, x] + c11[y-1, x-1]
+    dfeats = []
+    for l, f in enumerate(feats):
+        hl, wl = int(f.shape[1]), int(f.shape[2])
+        per_img = []
+        for i in range(b):
+            start = i * img_size + int(lvl_offs[l])
+            seg = rows4[start:start + hl * wl].reshape(hl, wl, 4, c)
+            d = seg[:, :, 0]
+            d = d + jnp.pad(seg[:, :-1, 1], ((0, 0), (1, 0), (0, 0)))
+            d = d + jnp.pad(seg[:-1, :, 2], ((1, 0), (0, 0), (0, 0)))
+            d = d + jnp.pad(seg[:-1, :-1, 3], ((1, 0), (1, 0), (0, 0)))
+            per_img.append(d)
+        dfeats.append(jnp.stack(per_img).astype(f.dtype))
+    return dfeats
 
 
 # kept as a cross-check implementation for tests (4x the gather traffic)

@@ -1918,8 +1918,15 @@ def roi_align_fused_batched(
 def _trainable_fused_batched(strides, out_size, sampling_ratio, max_samples,
                              interpret, kernel="v4"):
     """custom_vjp wrapper for the batched fused extractor: Pallas forward,
-    batched-XLA-pyramid backward (gradients flow into features only)."""
-    from htd_tpu.ops.roi_align import roi_align_pyramid_batched as pyramid
+    corner-folded scatter backward (gradients flow into features only).
+
+    HTD_RA_BWD=vjp restores the autodiff-of-gather backward (4x the
+    scatter rows; the round-4 train profile measured it at 50% of the
+    whole b2 train step) — kept as the A/B + numerics oracle."""
+    from htd_tpu.ops.roi_align import (
+        roi_align_pyramid_batched as pyramid,
+        roi_align_pyramid_batched_grad_feats as grad_feats,
+    )
 
     @jax.custom_vjp
     def fn(feats, rois, target_lvls):
@@ -1934,16 +1941,23 @@ def _trainable_fused_batched(strides, out_size, sampling_ratio, max_samples,
 
     def bwd(res, g):
         feats, rois, target_lvls = res
-        _, vjp = jax.vjp(
-            lambda fs: pyramid(
-                list(fs), rois, strides, target_lvls,
-                out_size=out_size, sampling_ratio=sampling_ratio,
-                max_samples=max_samples,
-            ),
-            feats,
+        if os.environ.get("HTD_RA_BWD", "fold") == "vjp":
+            _, vjp = jax.vjp(
+                lambda fs: pyramid(
+                    list(fs), rois, strides, target_lvls,
+                    out_size=out_size, sampling_ratio=sampling_ratio,
+                    max_samples=max_samples,
+                ),
+                feats,
+            )
+            (dfeats,) = vjp(g.astype(feats[0].dtype))
+            return dfeats, None, None
+        dfeats = grad_feats(
+            list(feats), rois, strides, target_lvls, g,
+            out_size=out_size, sampling_ratio=sampling_ratio,
+            max_samples=max_samples,
         )
-        (dfeats,) = vjp(g.astype(feats[0].dtype))
-        return dfeats, None, None
+        return tuple(dfeats), None, None
 
     fn.defvjp(fwd, bwd)
     return fn

@@ -718,3 +718,45 @@ def test_build_pyramid_xmajor_matches_transposed(rng):
         assert (offs_a, wp_a, rp_a, ir_a) == (offs_b, wp_b, rp_b, ir_b)
         np.testing.assert_array_equal(
             np.asarray(jnp.swapaxes(a, 0, 1)), np.asarray(b))
+
+
+def test_folded_backward_matches_autodiff(rng):
+    """roi_align_pyramid_batched_grad_feats (corner-folded scatter, the
+    TPU train-step backward) == autodiff of the gather formulation."""
+    import jax
+
+    from htd_tpu.ops.boxes import map_roi_levels
+    from htd_tpu.ops.roi_align import (
+        roi_align_pyramid_batched,
+        roi_align_pyramid_batched_grad_feats,
+    )
+
+    b, r, c = 2, 40, 16
+    strides = (4, 8, 16, 32)
+    feats = [
+        jnp.asarray(rng.normal(
+            0, 1, (b, 64 // 2 ** i, 96 // 2 ** i, c)).astype(np.float32))
+        for i in range(4)
+    ]
+    boxes = []
+    for _ in range(b * r):
+        sc = rng.uniform(8, 500)
+        ar = np.exp(rng.uniform(-1.2, 1.2))
+        w, h = sc * np.sqrt(ar), sc / np.sqrt(ar)
+        x1, y1 = rng.uniform(-10, 300), rng.uniform(-10, 200)
+        boxes.append([x1, y1, x1 + w, y1 + h])
+    rois = jnp.asarray(np.asarray(boxes, np.float32).reshape(b, r, 4))
+    lvls = jax.vmap(lambda rr: map_roi_levels(rr, 4))(rois)
+    g = jnp.asarray(rng.normal(0, 1, (b, r, 7, 7, c)).astype(np.float32))
+
+    _, vjp = jax.vjp(
+        lambda fs: roi_align_pyramid_batched(list(fs), rois, strides, lvls),
+        feats,
+    )
+    (ref,) = vjp(g)
+    got = roi_align_pyramid_batched_grad_feats(
+        list(feats), rois, strides, lvls, g)
+    for lvl in range(4):
+        a, bb = np.asarray(ref[lvl]), np.asarray(got[lvl])
+        assert np.abs(a).max() > 0  # every level exercised
+        np.testing.assert_allclose(bb, a, rtol=2e-5, atol=2e-6)
