@@ -1733,17 +1733,19 @@ def roi_align_fused_batched(
     scales = jnp.asarray([1.0 / s for s in strides], f32)[flat_lvls]
     ext_w = (flat_rois[:, 2] - flat_rois[:, 0]).astype(f32) * scales
     ext_h = (flat_rois[:, 3] - flat_rois[:, 1]).astype(f32) * scales
-    # Spill / conditional-fallback defaults are BATCH-AWARE (on-chip A/B
-    # 2026-08-19, PERF.md "Round 3f"): at b1 the exhaustive spill bins
-    # cost more than the unconditional cap-96 gather they avoid
-    # (27.1 img/s spill-off vs 26.7 best spill variant), while at b4 the
-    # gather is the #1 op and exhaustive spill + tiered cond fallback wins
-    # (46.4 -> 40.5 ms/img). Budget-mode spill (k bins/img) lost
-    # everywhere: any residual overflow puts the cond on its full-cap
-    # branch, which serializes the gather (23.0 img/s b1).
+    # Spill / conditional-fallback defaults are BATCH-AWARE. Round-3f A/B
+    # (slots=24): b1 spill-off + unconditional cap-96 gather; b>1
+    # exhaustive spill + tiered cond fallback. Round-4 re-A/B at the new
+    # slots=8 default (PERF.md "Round 4: v4 slot-count A/B"): b1 now takes
+    # a 16-bins/img spill BUDGET on top of the unconditional gather
+    # (34.3 ms vs old default 38.1; capacity 8/window + 128 spill rois +
+    # 96 fallback rois strictly exceeds the old 24/window + 96, so the
+    # faster default is also the more exact one). Budget spill only loses
+    # when paired with the cond's serializing full-cap branch — with the
+    # UNCOND gather it is nearly free.
     spill_mode = os.environ.get("HTD_V4_SPILL", "auto")
     if spill_mode == "auto":
-        spill_mode = "1" if b > 1 else "0"
+        spill_mode = "1" if b > 1 else "16"
     fb_cond = os.environ.get("HTD_FB_COND", "auto")
     fb_cond = (b > 1) if fb_cond == "auto" else fb_cond == "1"
     if kernel == "v4":
@@ -1756,11 +1758,18 @@ def roi_align_fused_batched(
             # explicit k>=2: PER-IMAGE budget (crowding is per-image; a
             # fixed total budget starves later images at batch>1)
             spill_arg = int(spill_mode) * b
+        # slot count trades per-group interp cost (the block-diag interp
+        # matrices waste FLOPs proportional to `slots`) against spill-bin
+        # count / fallback pressure. Round-4 on-chip ladder (PERF.md):
+        # 24 / 16 / 12 / 8 / 6 slots -> b1 38.1 / 35.6 / 35.1 / 33.8 /
+        # 33.7 ms, b4 41.1 / 39.6 / 39.5 / 38.1 / 38.5 ms per image —
+        # slots=8 is the knee at both batch sizes.
+        slots = int(os.environ.get("HTD_V4_SLOTS", "8"))
         flat_out, slot_ovf = roi_align_pallas_v4(
             list(feats), flat_rois, strides, flat_lvls,
             out_size=out_size, sampling_ratio=sampling_ratio,
             max_samples=max_samples, interpret=interpret, img_idx=img_idx,
-            roi_valid=roi_ok, spill_bins=spill_arg,
+            roi_valid=roi_ok, spill_bins=spill_arg, slots=slots,
         )
         overflow = size_ovf | slot_ovf
     else:
