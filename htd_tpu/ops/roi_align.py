@@ -459,6 +459,80 @@ def roi_align_pyramid_batched_grad_feats(
     return dfeats
 
 
+def levels_pyramid_grad_feats(
+    feats: Sequence[Array],
+    rois: Array,            # (B, R, 4)
+    strides: Sequence[int],
+    gs: Sequence[Array],    # per level (B, R, out, out, C) cotangents
+    w_pad: int,
+    offsets: Sequence[int],
+    img_rows: int,
+    out_size: int = 7,
+    sampling_ratio: int = 0,
+    max_samples: int = 1,
+):
+    """Corner-folded d(loss)/d(feats) for `roi_align_levels_pyramid` (the
+    BA extractor's every-roi-at-every-level alignment).
+
+    Same fold as `roi_align_pyramid_batched_grad_feats`, but the pyramid
+    buffer has ONE uniform row stride (`w_pad`), so the un-stagger is
+    three global shifted adds on the flat buffer instead of per-plane
+    slicing; per-level cotangents scatter into one shared accumulator.
+    Level/image cross-bleed rows all carry frac=0 weight (mmcv border
+    rule), so they add exact zeros into the neighbouring segment.
+    """
+    b, r = rois.shape[0], rois.shape[1]
+    c = feats[0].shape[-1]
+    oh = ow = out_size
+    s = int(sampling_ratio) if sampling_ratio > 0 else int(max_samples)
+    f32 = jnp.float32
+    dtype = feats[0].dtype
+
+    flat_rois = rois.reshape(-1, 4)
+    img_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), r)
+    n_flat = b * img_rows * w_pad + w_pad + 1  # slack absorbs 0-wt bleed
+    rows4 = jnp.zeros((n_flat, 4 * c), dtype)
+
+    for lvl, stride in enumerate(strides):
+        h = float(feats[lvl].shape[-3])
+        w = float(feats[lvl].shape[-2])
+        (x_low, _, lx, hx, mx, x_in,
+         y_low, _, ly, hy, my, y_in,
+         grid_w, grid_h) = _sample_geometry(
+            flat_rois,
+            jnp.full((b * r,), 1.0 / stride, f32),
+            jnp.full((b * r,), h, f32),
+            jnp.full((b * r,), w, f32),
+            out_size, sampling_ratio, max_samples)
+        wy = jnp.stack([hy, ly], axis=-1) * (my & y_in)[..., None].astype(f32)
+        wx = jnp.stack([hx, lx], axis=-1) * (mx & x_in)[..., None].astype(f32)
+        count = jnp.maximum((grid_h * grid_w).astype(f32), 1.0)
+        gg = (gs[lvl].reshape(-1, oh, ow, c).astype(f32)
+              / count[:, None, None, None])
+        w4 = (wy[:, :, None, :, None, :, None]
+              * wx[:, None, :, None, :, None, :]).reshape(-1, oh, ow, s, s, 4)
+        vals = (w4[..., None] * gg[:, :, :, None, None, None, :]).astype(dtype)
+        base = (img_idx * img_rows + int(offsets[lvl])) * w_pad
+        p00 = (base[:, None, None, None, None]
+               + y_low[:, :, None, :, None] * w_pad
+               + x_low[:, None, :, None, :])
+        rows4 = rows4.at[p00.reshape(-1)].add(vals.reshape(-1, 4 * c))
+
+    # global un-stagger (uniform stride w_pad)
+    d = rows4[:, :c]
+    d = d + jnp.pad(rows4[:-1, c:2 * c], ((1, 0), (0, 0)))
+    d = d + jnp.pad(rows4[:-w_pad, 2 * c:3 * c], ((w_pad, 0), (0, 0)))
+    d = d + jnp.pad(rows4[:-w_pad - 1, 3 * c:], ((w_pad + 1, 0), (0, 0)))
+    d = d[:b * img_rows * w_pad].reshape(b, img_rows, w_pad, c)
+
+    dfeats = []
+    for lvl, f in enumerate(feats):
+        hl, wl = int(f.shape[-3]), int(f.shape[-2])
+        off = int(offsets[lvl])
+        dfeats.append(d[:, off:off + hl, :wl, :].astype(f.dtype))
+    return dfeats
+
+
 # kept as a cross-check implementation for tests (4x the gather traffic)
 def roi_align_multilevel(
     feats: Sequence[Array],

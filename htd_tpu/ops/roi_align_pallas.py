@@ -347,6 +347,31 @@ def roi_align_levels_pyramid(
     """
     from htd_tpu.ops import roi_align as _ra
 
+    # Training backward: the autodiff VJP of the gather core scatters
+    # per-sample-corner rows into the pyramid; the corner-folded custom
+    # backward cuts the rows 4x but stages a pyramid-sized 4C buffer.
+    # On-chip A/B (2026-08-20): at the BA extractor's S=1 the scatter is
+    # only ~4 ms/step and the staggered buffer traffic LOSES (train b2
+    # 11.15 vs 11.47 img/s), so the fold defaults on only for S >= 2
+    # (where row count, not bytes, dominates). HTD_BA_BWD=fold|vjp forces.
+    s_eff = sampling_ratio if sampling_ratio > 0 else max_samples
+    ba_bwd = os.environ.get("HTD_BA_BWD", "auto")
+    if ba_bwd == "auto":
+        ba_bwd = "fold" if s_eff >= 2 else "vjp"
+    if ba_bwd == "fold":
+        fn = _trainable_levels_pyramid(
+            tuple(strides), out_size, sampling_ratio, max_samples
+        )
+        return list(fn(tuple(feats), rois))
+    return _levels_pyramid_impl(
+        feats, rois, strides, out_size, sampling_ratio, max_samples
+    )
+
+
+def _levels_pyramid_impl(feats, rois, strides, out_size, sampling_ratio,
+                         max_samples):
+    from htd_tpu.ops import roi_align as _ra
+
     b, r = int(rois.shape[0]), int(rois.shape[1])
     c = int(feats[0].shape[-1])
     pyr, offsets, w_pad, rows_pad, img_rows = _v4_pyramid(list(feats))
@@ -383,6 +408,41 @@ def roi_align_levels_pyramid(
         )
         outs.append(sub.reshape(b, r, out_size, out_size, c))
     return outs
+
+
+@functools.lru_cache(maxsize=None)
+def _trainable_levels_pyramid(strides, out_size, sampling_ratio, max_samples):
+    """custom_vjp: gather forward, corner-folded scatter backward
+    (levels_pyramid_grad_feats). Gradients flow into features only."""
+    from htd_tpu.ops.roi_align import levels_pyramid_grad_feats
+
+    @jax.custom_vjp
+    def fn(feats, rois):
+        return tuple(_levels_pyramid_impl(
+            list(feats), rois, strides, out_size, sampling_ratio,
+            max_samples))
+
+    def fwd(feats, rois):
+        return fn(feats, rois), (feats, rois)
+
+    def bwd(res, gs):
+        feats, rois = res
+        # pyramid layout metadata (must match _v4_pyramid / _build_pyramid)
+        max_w = max(int(f.shape[-2]) for f in feats)
+        w_pad = ((max_w - 1) // V4_X_BLOCK + 2) * V4_X_BLOCK
+        offsets = [0]
+        for f in feats:
+            offsets.append(offsets[-1] + int(f.shape[-3]))
+        img_rows = offsets[-1]
+        dfeats = levels_pyramid_grad_feats(
+            list(feats), rois, strides, list(gs), w_pad, offsets[:-1],
+            img_rows, out_size=out_size, sampling_ratio=sampling_ratio,
+            max_samples=max_samples,
+        )
+        return tuple(dfeats), None
+
+    fn.defvjp(fwd, bwd)
+    return fn
 
 
 def roi_align_pallas(

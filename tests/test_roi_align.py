@@ -760,3 +760,42 @@ def test_folded_backward_matches_autodiff(rng):
         a, bb = np.asarray(ref[lvl]), np.asarray(got[lvl])
         assert np.abs(a).max() > 0  # every level exercised
         np.testing.assert_allclose(bb, a, rtol=2e-5, atol=2e-6)
+
+
+def test_ba_folded_backward_matches_autodiff(rng, monkeypatch):
+    """The BA extractor's corner-folded backward (HTD_BA_BWD=fold default)
+    == autodiff of the gather formulation (HTD_BA_BWD=vjp)."""
+    import jax
+
+    from htd_tpu.ops.roi_align_pallas import roi_align_levels_pyramid
+
+    b, r, c = 2, 24, 16
+    strides = (4, 8, 16, 32)
+    feats = [
+        jnp.asarray(rng.normal(
+            0, 1, (b, 64 // 2 ** i, 96 // 2 ** i, c)).astype(np.float32))
+        for i in range(4)
+    ]
+    boxes = []
+    for _ in range(b * r):
+        sc = rng.uniform(8, 400)
+        ar = np.exp(rng.uniform(-1.0, 1.0))
+        w, h = sc * np.sqrt(ar), sc / np.sqrt(ar)
+        x1, y1 = rng.uniform(-10, 300), rng.uniform(-10, 200)
+        boxes.append([x1, y1, x1 + w, y1 + h])
+    rois = jnp.asarray(np.asarray(boxes, np.float32).reshape(b, r, 4))
+    gs = [jnp.asarray(rng.normal(0, 1, (b, r, 7, 7, c)).astype(np.float32))
+          for _ in range(4)]
+
+    def loss(fs):
+        outs = roi_align_levels_pyramid(list(fs), rois, strides, 7, 0, 1)
+        return sum(jnp.sum(o * g) for o, g in zip(outs, gs))
+
+    monkeypatch.setenv("HTD_BA_BWD", "fold")
+    g_fold = jax.grad(loss)(feats)
+    monkeypatch.setenv("HTD_BA_BWD", "vjp")
+    g_vjp = jax.grad(loss)(feats)
+    for lvl in range(4):
+        a, bb = np.asarray(g_vjp[lvl]), np.asarray(g_fold[lvl])
+        assert np.abs(a).max() > 0
+        np.testing.assert_allclose(bb, a, rtol=2e-5, atol=2e-6)
