@@ -269,6 +269,15 @@ def deform_conv2d(
         win_lo, win_hi = -win_m, win_m
     if impl == "pallas":
         s2_ok = os.environ.get("HTD_DCN_S2_GATHER", "0") != "1"
+        # stride-2 stripe VMEM guard: the parity-plane stripes are
+        # (r, ~w/2, 4c) and Mosaic's scoped-vmem stack for the kernel
+        # scales with that row width x channel product. Calibrated on-chip
+        # 2026-08-20: X-101 c2-entry at 1664-wide input (w_eff*4c = 426k)
+        # ran the 80 MB budget over at 95.3 MB -> fall back to the gather
+        # path above ~350k (R-101's largest stride-2 conv is ~180k).
+        if stride == 2:
+            w_eff = (x.shape[-2] // 2 + 24) * 4 * cin
+            s2_ok = s2_ok and w_eff <= 350_000
         kernel_ok = (
             deform_groups == 1
             and (stride == 1 or (stride == 2 and s2_ok))
