@@ -296,12 +296,96 @@ def deform_conv2d(
     )
 
 
+def _dcn_sample_coords(x, offsets, kh, kw, stride, dilation, pad):
+    """(ys, xs) sample positions (N, Ho, Wo, K), dg=1 (mirrors
+    _dcn_xla_impl's base grid + offset addition)."""
+    n, h, w, cin = x.shape
+    ho, wo = offsets.shape[1], offsets.shape[2]
+    k = kh * kw
+    f32 = jnp.float32
+    off = offsets.astype(f32).reshape(n, ho, wo, k, 2)
+    oy = jnp.arange(ho, dtype=f32) * stride - pad
+    ox = jnp.arange(wo, dtype=f32) * stride - pad
+    ky = jnp.arange(kh, dtype=f32) * dilation
+    kx = jnp.arange(kw, dtype=f32) * dilation
+    base_y = oy[:, None, None] + ky[None, :, None]
+    base_x = ox[:, None, None] + kx[None, None, :]
+    base_y = jnp.broadcast_to(
+        base_y[:, None, :, :], (ho, wo, kh, kw)).reshape(ho, wo, k)
+    base_x = jnp.broadcast_to(
+        base_x[None, :, :, :], (ho, wo, kh, kw)).reshape(ho, wo, k)
+    ys = base_y[None] + off[..., 0]
+    xs = base_x[None] + off[..., 1]
+    return ys, xs
+
+
+def _dcn_dx_folded(x, offsets, weight, g, kh, kw, stride, dilation, pad):
+    """d(loss)/d(x) for the dg=1 gather-formulation DCN — corner-folded.
+
+    The autodiff d_x is a scatter-add of Ho*Wo*K*4 corner rows per conv
+    (the dominant cost of the R-101-DCN train step: ~30 convs x ~4-16 ms
+    of sort+segsum scatters). The 4 bilinear corners of a sample fold into
+    one 4C-wide row at the base corner; a 1-px border on the scatter grid
+    absorbs the y0/x0 = -1 edge case (those corners carry weight 0 by the
+    per-corner bounds rule, matching _bilinear_gather), and three shifted
+    adds un-stagger. Exact vs autodiff (tests/test_dcn.py).
+    """
+    n, h, w, cin = (int(s) for s in x.shape)
+    cout = int(weight.shape[-1])
+    k = kh * kw
+    f32 = jnp.float32
+    ho, wo = int(offsets.shape[1]), int(offsets.shape[2])
+
+    ys, xs = _dcn_sample_coords(x, offsets, kh, kw, stride, dilation, pad)
+    inside = (ys > -1.0) & (ys < h) & (xs > -1.0) & (xs < w)
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    ly = (ys - y0).astype(f32)
+    lx = (xs - x0).astype(f32)
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+
+    def okw(yi, xi, base_w):
+        ok = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w) & inside
+        return jnp.where(ok, base_w, 0.0)
+
+    w00 = okw(y0i, x0i, (1 - ly) * (1 - lx))
+    w01 = okw(y0i, x0i + 1, (1 - ly) * lx)
+    w10 = okw(y0i + 1, x0i, ly * (1 - lx))
+    w11 = okw(y0i + 1, x0i + 1, ly * lx)
+    w4 = jnp.stack([w00, w01, w10, w11], axis=-1)  # (N, Ho, Wo, K, 4)
+
+    # d_col[pix, k, cin] = g[pix, :] @ W[k,cin,:]^T
+    wmat = weight.reshape(k * cin, cout)
+    dcol = jax.lax.dot_general(
+        g.astype(x.dtype), wmat.astype(x.dtype),
+        dimension_numbers=(((3,), (1,)), ((), ())),
+    ).reshape(n, ho, wo, k, cin)
+
+    vals = (w4[..., None].astype(x.dtype) * dcol[..., None, :]
+            ).reshape(-1, 4 * cin)
+    wp = w + 2
+    img = (h + 2) * wp
+    img_idx = jnp.arange(n, dtype=jnp.int32)[:, None, None, None]
+    p00 = (img_idx * img + (y0i + 1) * wp + (x0i + 1)).reshape(-1)
+    buf = jnp.zeros((n * img + wp + 2, 4 * cin), x.dtype)
+    buf = buf.at[p00].add(vals)
+
+    d = buf[:, :cin]
+    d = d + jnp.pad(buf[:-1, cin:2 * cin], ((1, 0), (0, 0)))
+    d = d + jnp.pad(buf[:-wp, 2 * cin:3 * cin], ((wp, 0), (0, 0)))
+    d = d + jnp.pad(buf[:-wp - 1, 3 * cin:], ((wp + 1, 0), (0, 0)))
+    d = d[:n * img].reshape(n, h + 2, wp, cin)
+    return d[:, 1:h + 1, 1:w + 1, :]
+
+
 @functools.lru_cache(maxsize=None)
 def _pallas_dcn_fn(dilation: int, pad: int, m: int, cap: int,
                    lo: int | None = None, hi: int | None = None,
                    stride: int = 1):
     """custom_vjp wrapper: Pallas windowed forward, gather-formulation
-    gradients (exact; recomputes the forward in bwd)."""
+    gradients (exact; recomputes the forward in bwd). d_x uses the
+    corner-folded scatter (HTD_DCN_DX=vjp restores full autodiff)."""
 
     def ref(x, offsets, weight):
         return _dcn_xla_impl(
@@ -320,6 +404,18 @@ def _pallas_dcn_fn(dilation: int, pad: int, m: int, cap: int,
         return f(x, offsets, weight), (x, offsets, weight)
 
     def bwd(res, g):
+        if os.environ.get("HTD_DCN_DX", "fold") == "fold":
+            x, offsets, weight = res
+            kh, kw = int(weight.shape[0]), int(weight.shape[1])
+            _, vjp_ow = jax.vjp(
+                lambda o, wt: ref(x, o, wt), offsets, weight
+            )
+            d_off, d_w = vjp_ow(g)
+            d_x = _dcn_dx_folded(
+                x, offsets, weight, g.astype(jnp.float32),
+                kh, kw, stride, dilation, pad,
+            )
+            return d_x, d_off, d_w
         _, vjp = jax.vjp(ref, *res)
         return vjp(g)
 

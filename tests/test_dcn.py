@@ -296,3 +296,29 @@ def test_pallas_kernel_stride2_matches_gather(rng, monkeypatch):
                     np.testing.assert_allclose(
                         out, ref, rtol=1e-4, atol=1e-4,
                         err_msg=f"h={h} w={w} scale={scale} win=({lo},{hi})")
+
+
+def test_dx_folded_matches_autodiff(rng):
+    """_dcn_dx_folded (corner-folded d_x scatter, the TPU training path)
+    == autodiff of the gather formulation, stride 1 and 2."""
+    import jax
+
+    from htd_tpu.ops import dcn as D
+
+    for stride in (1, 2):
+        n, h, w, c, cout = 2, 14, 18, 8, 12
+        ho, wo = (h + stride - 1) // stride, (w + stride - 1) // stride
+        x = jnp.asarray(rng.normal(0, 1, (n, h, w, c)).astype(np.float32))
+        offs = jnp.asarray(
+            rng.normal(0, 1.3, (n, ho, wo, 18)).astype(np.float32))
+        wt = jnp.asarray(
+            rng.normal(0, 0.1, (3, 3, c, cout)).astype(np.float32))
+        g = jnp.asarray(
+            rng.normal(0, 1, (n, ho, wo, cout)).astype(np.float32))
+
+        d_ref = jax.grad(lambda xx: jnp.sum(
+            D._dcn_xla_impl(xx, offs, wt, stride, 1, 1, "gather", 1, 64) * g
+        ))(x)
+        d_fold = D._dcn_dx_folded(x, offs, wt, g, 3, 3, stride, 1, 1)
+        np.testing.assert_allclose(
+            np.asarray(d_fold), np.asarray(d_ref), rtol=2e-5, atol=2e-6)
