@@ -657,15 +657,22 @@ class HTDDetector(nn.Module):
             keep_neg = jnp.zeros(anchors.shape[0], bool).at[neg_idx].set(neg_keep_sel)
 
             matched_gt = jnp.maximum(ar.gt_inds - 1, 0)
-            # NaN-safe: unmatched anchors encode against themselves (delta 0)
-            gt_for_anchor = jnp.where(
-                (ar.gt_inds > 0)[:, None], gb[matched_gt], anchors
-            )
-            tgt = bbox2delta(anchors, gt_for_anchor, c.rpn.coder.means, c.rpn.coder.stds)
             cls_t = keep_pos.astype(jnp.float32)
             cls_w = (keep_pos | keep_neg).astype(jnp.float32)
-            box_w = keep_pos.astype(jnp.float32)
-            return cls_t, cls_w, tgt, box_w
+            # COMPACT box targets: only the <=pos_cap kept positives carry
+            # box-loss weight, so encode targets at those indices alone
+            # instead of materializing (A, 4) full-anchor gathers + deltas
+            # (fusion profile: 3.1 ms/step of gather over 258k anchors x B
+            # for <=128 used rows). Loss value is identical: zero-weight
+            # rows contributed nothing.
+            pos_anchors = anchors[pos_idx]
+            pos_gt = gb[matched_gt[pos_idx]]
+            pos_w = (top_pos >= 0) & (ar.gt_inds[pos_idx] > 0)
+            safe_gt = jnp.where(pos_w[:, None], pos_gt, pos_anchors)
+            tgt = bbox2delta(
+                pos_anchors, safe_gt, c.rpn.coder.means, c.rpn.coder.stds
+            )
+            return cls_t, cls_w, tgt, pos_w.astype(jnp.float32), pos_idx
 
         if inj is not None:
             keep_pos, keep_neg, matched_gt = inj
@@ -685,15 +692,25 @@ class HTDDetector(nn.Module):
             cls_t, cls_w, box_t, box_w = jax.vmap(one_inj)(
                 keep_pos, keep_neg, matched_gt, gt_boxes
             )
-        else:
-            keys = jax.random.split(key, b)
-            cls_t, cls_w, box_t, box_w = jax.vmap(one)(
-                keys, img_shapes, gt_boxes, gt_valid
+            num_total = jnp.sum(cls_w)
+            loss_cls = L.sigmoid_bce(flat_scores, cls_t, cls_w, num_total)
+            loss_bbox = L.smooth_l1_loss(
+                flat_deltas, box_t, box_w[..., None],
+                c.rpn.loss_bbox_beta, num_total,
             )
+            return loss_cls, loss_bbox
+
+        keys = jax.random.split(key, b)
+        cls_t, cls_w, box_t, box_w, pos_idx = jax.vmap(one)(
+            keys, img_shapes, gt_boxes, gt_valid
+        )
         num_total = jnp.sum(cls_w)
         loss_cls = L.sigmoid_bce(flat_scores, cls_t, cls_w, num_total)
+        deltas_pos = jnp.take_along_axis(
+            flat_deltas, pos_idx[..., None], axis=1
+        )
         loss_bbox = L.smooth_l1_loss(
-            flat_deltas, box_t, box_w[..., None], c.rpn.loss_bbox_beta, num_total
+            deltas_pos, box_t, box_w[..., None], c.rpn.loss_bbox_beta, num_total
         )
         return loss_cls, loss_bbox
 
