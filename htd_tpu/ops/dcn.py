@@ -17,6 +17,8 @@ from __future__ import annotations
 import functools
 import os
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -379,6 +381,119 @@ def _dcn_dx_folded(x, offsets, weight, g, kh, kw, stride, dilation, pad):
     return d[:, 1:h + 1, 1:w + 1, :]
 
 
+def _dcn_dx_window(x, offsets, weight, g, kh, kw, dilation, pad, lo, hi,
+                   cap):
+    """d_x via the select-MAC TRANSPOSE (stride 1, dg=1), opt-in
+    HTD_DCN_DX=window.
+
+    The windowed forward is out = sum_shifts sel_w * shifted(x), so its
+    transpose is d_x = sum_shifts unshift(sel_w * d_col) — dense shifted
+    adds with NO scatter for in-window samples. Samples whose floor
+    displacement escapes [lo, hi] contribute through a capped exact
+    folded-scatter correction, mirroring the forward's correction pass
+    (so this computes the gradient of the windowed+corrected forward;
+    beyond-cap truncation matches the forward's documented behavior,
+    unlike the default 'fold' path which takes exact-DCN gradients).
+    """
+    n, h, w, cin = (int(s) for s in x.shape)
+    cout = int(weight.shape[-1])
+    k = kh * kw
+    f32 = jnp.float32
+    ho, wo = int(offsets.shape[1]), int(offsets.shape[2])
+
+    ys, xs = _dcn_sample_coords(x, offsets, kh, kw, 1, dilation, pad)
+    inside = (ys > -1.0) & (ys < h) & (xs > -1.0) & (xs < w)
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    ly = (ys - y0).astype(f32)
+    lx = (xs - x0).astype(f32)
+
+    # per-tap integer base grid (matches _dcn_sample_coords); ky/kx stay
+    # NUMPY so the per-tap shift offsets below are trace-time constants
+    oy = jnp.arange(ho, dtype=f32) - pad
+    ox = jnp.arange(wo, dtype=f32) - pad
+    ky = np.repeat(np.arange(kh, dtype=np.float32) * dilation, kw)
+    kx = np.tile(np.arange(kw, dtype=np.float32) * dilation, kh)
+    base_y = oy[None, :, None, None] + jnp.asarray(ky)[None, None, None, :]
+    base_x = ox[None, None, :, None] + jnp.asarray(kx)[None, None, None, :]
+    dy = (y0 - base_y).astype(jnp.int32)     # floor displacement
+    dx_ = (x0 - base_x).astype(jnp.int32)
+    in_win = ((dy >= lo) & (dy <= hi) & (dx_ >= lo) & (dx_ <= hi)) & inside
+
+    wmat = weight.reshape(k * cin, cout)
+    dcol = jax.lax.dot_general(
+        g.astype(x.dtype), wmat.astype(x.dtype),
+        dimension_numbers=(((3,), (1,)), ((), ())),
+    ).reshape(n, ho, wo, k, cin)
+
+    # dense transpose over the static shift window. Accumulate into a
+    # zero-padded (H + 2*marg, W + 2*marg) buffer so every shift is a
+    # static slice-add.
+    marg_lo = pad - lo              # most-negative x offset magnitude
+    marg_hi = (kh - 1) * dilation + hi + 1 - pad
+    hp = h + marg_lo + max(marg_hi, 0) + 2
+    wp = w + marg_lo + max(marg_hi, 0) + 2
+    acc = jnp.zeros((n, hp, wp, cin), f32)
+    hy, hx_ = 1.0 - ly, 1.0 - lx
+    for kk in range(k):
+        sy0 = int(ky[kk]) - pad
+        sx0 = int(kx[kk]) - pad
+        for a in range(lo, hi + 2):
+            wy_a = (hy[..., kk] * (dy[..., kk] == a)
+                    + ly[..., kk] * (dy[..., kk] == a - 1))
+            for bb in range(lo, hi + 2):
+                wx_b = (hx_[..., kk] * (dx_[..., kk] == bb)
+                        + lx[..., kk] * (dx_[..., kk] == bb - 1))
+                w_ab = (wy_a * wx_b * in_win[..., kk]).astype(f32)
+                term = w_ab[..., None] * dcol[..., kk, :].astype(f32)
+                oy0 = marg_lo + sy0 + a
+                ox0 = marg_lo + sx0 + bb
+                acc = jax.lax.dynamic_update_slice(
+                    acc,
+                    jax.lax.dynamic_slice(
+                        acc, (0, oy0, ox0, 0), (n, ho, wo, cin)
+                    ) + term,
+                    (0, oy0, ox0, 0),
+                )
+    d_x = acc[:, marg_lo:marg_lo + h, marg_lo:marg_lo + w, :]
+
+    # capped exact correction for out-of-window samples (top-cap per
+    # image, mirroring dcn_conv_windowed's forward correction)
+    need = inside & ~in_win                       # (N, Ho, Wo, K)
+    flag = jnp.any(need, axis=-1).astype(f32)     # (N, Ho, Wo)
+    cap = max(1, min(cap, ho * wo))
+
+    def corr_one(flag_i, ys_i, xs_i, need_i, dcol_i):
+        _, idx = jax.lax.top_k(flag_i.reshape(-1), cap)
+        sel = jnp.take(flag_i.reshape(-1), idx) > 0.0
+        ysel = jnp.take(ys_i.reshape(-1, k), idx, axis=0)
+        xsel = jnp.take(xs_i.reshape(-1, k), idx, axis=0)
+        nsel = jnp.take(need_i.reshape(-1, k), idx, axis=0) & sel[:, None]
+        dsel = jnp.take(dcol_i.reshape(-1, k, cin), idx, axis=0)
+        y0s = jnp.floor(ysel)
+        x0s = jnp.floor(xsel)
+        lys = (ysel - y0s).astype(f32)
+        lxs = (xsel - x0s).astype(f32)
+        y0i = y0s.astype(jnp.int32)
+        x0i = x0s.astype(jnp.int32)
+        d = jnp.zeros((h * w + w + 2, cin), f32)
+        for cy in range(2):
+            for cx in range(2):
+                yi = y0i + cy
+                xi = x0i + cx
+                ok = ((yi >= 0) & (yi < h) & (xi >= 0) & (xi < w) & nsel)
+                wgt = (jnp.where(cy, lys, 1 - lys)
+                       * jnp.where(cx, lxs, 1 - lxs)
+                       * ok.astype(f32))
+                p = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
+                d = d.at[p.reshape(-1)].add(
+                    (wgt[..., None] * dsel.astype(f32)).reshape(-1, cin))
+        return d[:h * w].reshape(h, w, cin)
+
+    corr = jax.vmap(corr_one)(flag, ys, xs, need, dcol)
+    return (d_x + corr).astype(x.dtype)
+
+
 @functools.lru_cache(maxsize=None)
 def _pallas_dcn_fn(dilation: int, pad: int, m: int, cap: int,
                    lo: int | None = None, hi: int | None = None,
@@ -404,17 +519,27 @@ def _pallas_dcn_fn(dilation: int, pad: int, m: int, cap: int,
         return f(x, offsets, weight), (x, offsets, weight)
 
     def bwd(res, g):
-        if os.environ.get("HTD_DCN_DX", "fold") == "fold":
+        mode = os.environ.get("HTD_DCN_DX", "fold")
+        if mode == "window" and stride != 1:
+            mode = "fold"
+        if mode in ("fold", "window"):
             x, offsets, weight = res
             kh, kw = int(weight.shape[0]), int(weight.shape[1])
             _, vjp_ow = jax.vjp(
                 lambda o, wt: ref(x, o, wt), offsets, weight
             )
             d_off, d_w = vjp_ow(g)
-            d_x = _dcn_dx_folded(
-                x, offsets, weight, g.astype(jnp.float32),
-                kh, kw, stride, dilation, pad,
-            )
+            if mode == "window":
+                wlo, whi = (lo, hi) if lo is not None else (-m, m)
+                d_x = _dcn_dx_window(
+                    x, offsets, weight, g.astype(jnp.float32),
+                    kh, kw, dilation, pad, wlo, whi, cap,
+                )
+            else:
+                d_x = _dcn_dx_folded(
+                    x, offsets, weight, g.astype(jnp.float32),
+                    kh, kw, stride, dilation, pad,
+                )
             return d_x, d_off, d_w
         _, vjp = jax.vjp(ref, *res)
         return vjp(g)

@@ -322,3 +322,26 @@ def test_dx_folded_matches_autodiff(rng):
         d_fold = D._dcn_dx_folded(x, offs, wt, g, 3, 3, stride, 1, 1)
         np.testing.assert_allclose(
             np.asarray(d_fold), np.asarray(d_ref), rtol=2e-5, atol=2e-6)
+
+
+def test_dx_window_transpose_matches_autodiff(rng):
+    """_dcn_dx_window (select-MAC transpose, HTD_DCN_DX=window) ==
+    autodiff of the gather formulation, both in-window and with the
+    exact correction engaged (cap covering every flagged pixel)."""
+    import jax
+
+    from htd_tpu.ops import dcn as D
+
+    n, h, w, c, cout = 2, 14, 18, 8, 12
+    x = jnp.asarray(rng.normal(0, 1, (n, h, w, c)).astype(np.float32))
+    wt = jnp.asarray(rng.normal(0, 0.1, (3, 3, c, cout)).astype(np.float32))
+    g = jnp.asarray(rng.normal(0, 1, (n, h, w, cout)).astype(np.float32))
+    for std, cap in ((0.3, 64), (2.0, h * w)):
+        offs = jnp.asarray(
+            rng.normal(0, std, (n, h, w, 18)).astype(np.float32))
+        d_ref = jax.grad(lambda xx: jnp.sum(
+            D._dcn_xla_impl(xx, offs, wt, 1, 1, 1, "gather", 1, 64) * g
+        ))(x)
+        d_win = D._dcn_dx_window(x, offs, wt, g, 3, 3, 1, 1, -1, 1, cap)
+        np.testing.assert_allclose(
+            np.asarray(d_win), np.asarray(d_ref), rtol=2e-5, atol=2e-6)
