@@ -356,3 +356,67 @@ def evaluate_dataset(
     if return_detections:
         return metrics, detections
     return metrics
+
+
+def calibrate_dcn(model, variables, images, window=(-1, 1)):
+    """Measure per-DCN-conv out-of-window sample statistics on a batch.
+
+    The windowed DCN kernel resolves samples whose floor displacement
+    escapes its window through an exact correction capped at
+    HTD_DCN_FB_CAP flagged pixels per image per conv; beyond-cap samples
+    contribute zero (PERF.md "DCN window fidelity contract"). This probe
+    runs the backbone on REAL images, captures every offset-conv output,
+    and reports per-conv flag statistics plus a dispatch recommendation —
+    run it once after converting a trained checkpoint.
+
+    Returns (per_conv, recommendation) where per_conv maps
+    "layerX_i" -> {"flag_rate", "flagged_px_per_img_p100", "abs_off_p99"}
+    and recommendation is {"impl", "fb_cap"} ("gather" when the needed
+    cap would exceed ~25% of the map — the correction gather would cost
+    more than it saves).
+    """
+    import jax.numpy as jnp
+
+    lo, hi = window
+
+    def keep(mdl, method_name):
+        return mdl.name == "conv_offset" and method_name == "__call__"
+
+    _, state = model.apply(
+        variables, images, method=model.extract_feats,
+        capture_intermediates=keep, mutable=["intermediates"],
+    )
+
+    def walk(tree, path, out):
+        if isinstance(tree, (tuple, list)):
+            out.append(("/".join(path), tree[0]))
+            return
+        for k, v in tree.items():
+            walk(v, path + [k], out)
+
+    captured = []
+    walk(state["intermediates"], [], captured)
+    per_conv = {}
+    worst_cap = 0
+    worst_frac = 0.0
+    for path, off in captured:
+        off = np.asarray(off, np.float32)
+        n, h, w = off.shape[:3]
+        o = off.reshape(n, h, w, -1, 2)
+        disp = np.floor(o)
+        oow = (disp < lo) | (disp > hi)
+        flagged = oow.any(axis=(3, 4))           # (n, h, w)
+        per_img = flagged.reshape(n, -1).sum(axis=1)
+        name = path.split("/conv2")[0].split("/")[-1]
+        per_conv[name] = {
+            "flag_rate": float(flagged.mean()),
+            "flagged_px_per_img_p100": int(per_img.max()),
+            "abs_off_p99": float(np.percentile(np.abs(o), 99)),
+        }
+        worst_cap = max(worst_cap, int(per_img.max()))
+        worst_frac = max(worst_frac, float(per_img.max()) / (h * w))
+    if worst_frac > 0.25:
+        rec = {"impl": "gather", "fb_cap": None}
+    else:
+        rec = {"impl": "pallas", "fb_cap": int(worst_cap * 1.5) + 16}
+    return per_conv, rec
