@@ -154,18 +154,27 @@ def main():
         float(run_n(variables, images, img_shapes, scale_factors, n))
         return time.perf_counter() - t0
 
-    # first full pass -> provisional result the watchdog can fall back on
-    t_small = timed(2)
-    t_big = timed(12)
-    _record(10.0 / (t_big - t_small), "provisional", constants)
+    # Per-pass slopes: (t_small, t_big) must come from the SAME pass —
+    # mixing minima across passes can make t_big - t_small <= 0 on a
+    # noisy tunnel and emit a negative/inf img/s. Min of per-pass slopes.
+    slope_dts = []
 
-    # refine: min-of-3 slope (re-using the provisional pass's samples)
+    def one_pass(phase):
+        ts = timed(2)
+        tb = timed(12)
+        if tb > ts:
+            slope_dts.append(tb - ts)
+        if slope_dts:
+            _record(10.0 / min(slope_dts), phase, constants)
+
+    # first full pass -> provisional result the watchdog can fall back on
+    one_pass("provisional")
+
+    # refine: min-of-3 per-pass slopes
     for _ in range(2):
         if time.monotonic() - t0_wall > deadline - 60.0:
             break
-        t_small = min(t_small, timed(2))
-        t_big = min(t_big, timed(12))
-        _record(10.0 / (t_big - t_small), "refined", constants)
+        one_pass("refined")
 
     if state["timer"] is not None:
         state["timer"].cancel()

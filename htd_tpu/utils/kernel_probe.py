@@ -58,7 +58,17 @@ def _cache_key() -> str:
     import jax
 
     kind = jax.devices()[0].device_kind if jax.devices() else "?"
-    return f"{jax.default_backend()}/{kind}/jax-{jax.__version__}"
+    key = f"{jax.default_backend()}/{kind}/jax-{jax.__version__}"
+    # The dcn_windowed probe compiles a window-shape-dependent kernel:
+    # non-default HTD_DCN_WIN / HTD_DCN_WINDOW_M configs get their own
+    # verdict entry so a cached 'ok' from the default sym window cannot
+    # replay for (and skip probing) an asym/wide-window run. Default
+    # settings keep the bare key so the committed verdicts stay valid.
+    win = os.environ.get("HTD_DCN_WIN", "")
+    m = os.environ.get("HTD_DCN_WINDOW_M", "1")
+    if win or m != "1":
+        key += f"/dcnwin-{win or 'sym'}-m{m}"
+    return key
 
 
 def _apply_gates(results: dict) -> None:
@@ -66,9 +76,15 @@ def _apply_gates(results: dict) -> None:
     for name, verdict in results.items():
         if verdict == "ok":
             continue
-        env = verdict.split("-> ", 1)[-1].split("=", 1)[0]
-        if env and env != verdict:
-            os.environ[env] = "1"
+        # verdict format: "FAILED -> ENV=VALUE (ExcName)" — apply the
+        # recorded VALUE (not a hardcoded "1") so probes whose remedy is
+        # ENV=0 replay correctly from cache.
+        rhs = verdict.split("-> ", 1)[-1]
+        if "=" in rhs:
+            env, val = rhs.split("=", 1)
+            val = val.split(" ", 1)[0].split("(", 1)[0].strip()
+            if env and val:
+                os.environ[env] = val
         if name == "dcn_windowed":
             os.environ["HTD_DCN_IMPL"] = "gather"
         if name == "v4_packed":
