@@ -15,11 +15,30 @@ import numpy as np
 from htd_tpu.config import HTDConfig
 
 
-def init_detector(cfg: HTDConfig, checkpoint: Optional[str] = None):
+def init_detector(
+    cfg: HTDConfig,
+    checkpoint: Optional[str] = None,
+    calibrate: str = "auto",
+    calib_images=None,
+):
     """Build the model and its variables (from a checkpoint if given).
 
     Checkpoint may be an mmdet .pth (converted on the fly) or an orbax dir.
     Returns (model, variables).
+
+    DCN dispatch calibration (PERF.md "DCN window fidelity contract"): a
+    trained checkpoint's offset convs can emit offsets that escape the
+    windowed Pallas kernel's select-MAC window; beyond-cap samples are
+    silently zeroed. With `calibrate="auto"` (default), loading a
+    checkpoint into a DCN config runs `calibrate_dcn` and applies the
+    recommended impl / HTD_DCN_FB_CAP / window via env vars, preferring
+    the faster asym window when the measured offset mass clears it.
+    Explicitly-set HTD_DCN_IMPL / HTD_DCN_FB_CAP / HTD_DCN_WIN env vars
+    are the escape hatch — calibration is skipped so user choices stick.
+    `calib_images` (one (N,H,W,3) batch or an iterable, pipeline-
+    normalized) should be real deployment images when available; defaults
+    to a synthetic normalized-noise probe batch. `calibrate="off"`
+    disables.
     """
     import jax
     import jax.numpy as jnp
@@ -45,7 +64,57 @@ def init_detector(cfg: HTDConfig, checkpoint: Optional[str] = None):
             from htd_tpu.train.checkpoint import restore_checkpoint
 
             variables = restore_checkpoint(checkpoint, variables)
+    if checkpoint and calibrate == "auto" and any(cfg.backbone.stage_with_dcn):
+        _auto_calibrate_dcn(model, variables, calib_images)
     return model, variables
+
+
+def _auto_calibrate_dcn(model, variables, calib_images=None) -> None:
+    """Measure trained-offset statistics and pick the DCN dispatch.
+
+    Decision ladder (cost data: PERF.md "DCN correction-cap cost ladder" —
+    asym window is +12% on the flagship, cap 512 costs 2.8%, cap 2048
+    costs 15%, gather is the exact fallback):
+      1. asym window [-1, 0) if its needed correction cap is <= 512;
+      2. else sym window [-1, 1] if its cap is <= 2048;
+      3. else the exact gather path.
+    Skipped (with a note) when the user already set any HTD_DCN_* env.
+    """
+    import os
+    import sys
+
+    explicit = [k for k in ("HTD_DCN_IMPL", "HTD_DCN_FB_CAP", "HTD_DCN_WIN")
+                if os.environ.get(k)]
+    if explicit:
+        print(f"[calibrate_dcn] skipped: {', '.join(explicit)} set "
+              f"explicitly (escape hatch)", file=sys.stderr)
+        return
+    if calib_images is None:
+        # Synthetic probe: pipeline-normalized images are ~N(0,1) per
+        # channel; 4 noise images at a moderate size exercise every DCN
+        # conv's offset statistics. Real val images are better — tools
+        # pass them — but trained offset magnitudes are dominated by the
+        # weights, so noise catches the saturating regimes too.
+        rng = np.random.RandomState(0)
+        calib_images = rng.normal(0, 1, (4, 512, 704, 3)).astype(np.float32)
+    captured = _capture_dcn_offsets(model, variables, calib_images)
+    if not captured:
+        return
+    _, rec_asym = _dcn_offset_stats(captured, (-1, 0))
+    per_sym, rec_sym = _dcn_offset_stats(captured, (-1, 1))
+    if rec_asym["impl"] == "pallas" and rec_asym["fb_cap"] <= 512:
+        decision = {"HTD_DCN_WIN": "asym",
+                    "HTD_DCN_FB_CAP": str(max(128, rec_asym["fb_cap"]))}
+    elif rec_sym["impl"] == "pallas" and rec_sym["fb_cap"] <= 2048:
+        decision = {"HTD_DCN_FB_CAP": str(max(128, rec_sym["fb_cap"]))}
+    else:
+        decision = {"HTD_DCN_IMPL": "gather"}
+    os.environ.update(decision)
+    worst = max(
+        (v["abs_off_p99"] for v in per_sym.values()), default=0.0)
+    print(f"[calibrate_dcn] abs_off_p99={worst:.2f}, "
+          f"asym cap={rec_asym.get('fb_cap')}, sym cap={rec_sym.get('fb_cap')}"
+          f" -> {decision}", file=sys.stderr)
 
 
 def make_inference_fn(model, variables, mesh=None):
@@ -141,16 +210,20 @@ def aug_inference_detector(
     from htd_tpu.models import tta
 
     def jitted(name):
-        key = (id(model), id(variables), name)
+        # Cache key = (config repr, method): one jit per distinct model
+        # CONFIG, not per (model, variables) object pair — rebuilding
+        # variables (or the model object) reuses the traced program, and
+        # the cache cannot grow with object churn (VERDICT r04 item on
+        # id()-keyed TTA caching). Variables are passed per call, so XLA
+        # retraces only on input shape change (per aug bucket).
+        key = (repr(model.cfg), name)
         if key not in _TTA_JIT_CACHE:
             method = getattr(model, name)
-            jf = jax.jit(
+            _TTA_JIT_CACHE[key] = jax.jit(
                 lambda v, *a: model.apply(v, *a, method=method)
             )
-            import functools as _ft
-
-            _TTA_JIT_CACHE[key] = _ft.partial(jf, variables)
-        return _TTA_JIT_CACHE[key]
+        jf = _TTA_JIT_CACHE[key]
+        return lambda *a: jf(variables, *a)
 
     scales = scales or (model.cfg.test_scale,)
     landscape = img_bgr.shape[1] >= img_bgr.shape[0]
@@ -284,6 +357,16 @@ def evaluate_dataset(
     import jax
 
     scale = scale or model.cfg.test_scale
+    if model.cfg.roi_extractor.max_samples < 8:
+        import sys
+
+        print(
+            f"[eval] model built with the serving RoIAlign preset "
+            f"(roi_extractor.max_samples="
+            f"{model.cfg.roi_extractor.max_samples}); for exact mmcv "
+            f"sampling_ratio=0 accuracy build with max_samples=8 "
+            f"(tools/test.py does this by default)", file=sys.stderr,
+        )
     fwd = make_inference_fn(model, variables, mesh=mesh)
     detections: Dict[int, Tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
     seen = 0
@@ -367,7 +450,15 @@ def calibrate_dcn(model, variables, images, window=(-1, 1)):
     contribute zero (PERF.md "DCN window fidelity contract"). This probe
     runs the backbone on REAL images, captures every offset-conv output,
     and reports per-conv flag statistics plus a dispatch recommendation —
-    run it once after converting a trained checkpoint.
+    run it once after converting a trained checkpoint (init_detector does
+    this automatically for .pth checkpoints of DCN configs).
+
+    `images` is one (N, H, W, 3) batch or an iterable of such batches;
+    statistics aggregate over everything given. Because the recommended
+    cap extrapolates from the calibration batch's per-image worst case
+    (1.5x + 16 headroom), a too-small or unrepresentative batch can
+    under-estimate it — use >= 4 images spanning the deployment's content
+    variety (e.g. one val batch), not a single frame.
 
     Returns (per_conv, recommendation) where per_conv maps
     "layerX_i" -> {"flag_rate", "flagged_px_per_img_p100", "abs_off_p99"}
@@ -375,17 +466,21 @@ def calibrate_dcn(model, variables, images, window=(-1, 1)):
     cap would exceed ~25% of the map — the correction gather would cost
     more than it saves).
     """
-    import jax.numpy as jnp
+    captured = _capture_dcn_offsets(model, variables, images)
+    return _dcn_offset_stats(captured, window)
 
-    lo, hi = window
+
+def _capture_dcn_offsets(model, variables, images):
+    """Run the backbone and capture every offset-conv output.
+
+    The probe must see UNSATURATED activations: a capped windowed run
+    zeroes beyond-cap samples, corrupting the inputs of later offset
+    convs, so the probe itself runs on the exact gather path.
+    """
+    import os
 
     def keep(mdl, method_name):
         return mdl.name == "conv_offset" and method_name == "__call__"
-
-    _, state = model.apply(
-        variables, images, method=model.extract_feats,
-        capture_intermediates=keep, mutable=["intermediates"],
-    )
 
     def walk(tree, path, out):
         if isinstance(tree, (tuple, list)):
@@ -394,8 +489,27 @@ def calibrate_dcn(model, variables, images, window=(-1, 1)):
         for k, v in tree.items():
             walk(v, path + [k], out)
 
-    captured = []
-    walk(state["intermediates"], [], captured)
+    batches = [images] if hasattr(images, "shape") else list(images)
+    prev = os.environ.get("HTD_DCN_IMPL")
+    os.environ["HTD_DCN_IMPL"] = "gather"
+    try:
+        captured = []
+        for batch in batches:
+            _, state = model.apply(
+                variables, batch, method=model.extract_feats,
+                capture_intermediates=keep, mutable=["intermediates"],
+            )
+            walk(state["intermediates"], [], captured)
+    finally:
+        if prev is None:
+            os.environ.pop("HTD_DCN_IMPL", None)
+        else:
+            os.environ["HTD_DCN_IMPL"] = prev
+    return captured
+
+
+def _dcn_offset_stats(captured, window):
+    lo, hi = window
     per_conv = {}
     worst_cap = 0
     worst_frac = 0.0
@@ -408,13 +522,21 @@ def calibrate_dcn(model, variables, images, window=(-1, 1)):
         flagged = oow.any(axis=(3, 4))           # (n, h, w)
         per_img = flagged.reshape(n, -1).sum(axis=1)
         name = path.split("/conv2")[0].split("/")[-1]
-        per_conv[name] = {
-            "flag_rate": float(flagged.mean()),
-            "flagged_px_per_img_p100": int(per_img.max()),
-            "abs_off_p99": float(np.percentile(np.abs(o), 99)),
-        }
+        st = per_conv.setdefault(name, {
+            "flag_rate": 0.0, "flagged_px_per_img_p100": 0,
+            "abs_off_p99": 0.0, "_n": 0,
+        })
+        k = st["_n"]
+        st["flag_rate"] = (st["flag_rate"] * k + float(flagged.mean()) * n) / (k + n)
+        st["flagged_px_per_img_p100"] = max(
+            st["flagged_px_per_img_p100"], int(per_img.max()))
+        st["abs_off_p99"] = max(
+            st["abs_off_p99"], float(np.percentile(np.abs(o), 99)))
+        st["_n"] = k + n
         worst_cap = max(worst_cap, int(per_img.max()))
         worst_frac = max(worst_frac, float(per_img.max()) / (h * w))
+    for st in per_conv.values():
+        st.pop("_n", None)
     if worst_frac > 0.25:
         rec = {"impl": "gather", "fb_cap": None}
     else:

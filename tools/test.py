@@ -58,6 +58,14 @@ def main():
         help="'bbox' = COCO mAP; 'proposal' = RPN-only AR@{100,300,1000} "
              "(reference 'proposal_fast' metric / RPN detector eval)",
     )
+    p.add_argument(
+        "--fast", action="store_true",
+        help="keep the serving RoIAlign preset (max_samples=4, ~24%% "
+             "faster). By default this ACCURACY tool runs the exact mmcv "
+             "sampling_ratio=0 grid (max_samples=8) — the serving clamp "
+             "costs a measured score p99 delta of 0.027 (PERF.md round-4 "
+             "fidelity A/B), irrelevant for serving but not for an eval",
+    )
     args = p.parse_args()
 
     from htd_tpu import config as C
@@ -69,12 +77,34 @@ def main():
         cfg = cfg.replace(compute_dtype="bfloat16")
     if args.cfg_options:
         cfg = C.apply_overrides(cfg, args.cfg_options)
+    user_set_ms = any(
+        o.split("=")[0].strip() == "roi_extractor.max_samples"
+        for o in args.cfg_options
+    )
+    if not args.fast and not user_set_ms:
+        # accuracy tooling defaults to the EXACT RoIAlign grid; serving
+        # keeps the clamped preset (bench.py / inference APIs unchanged)
+        cfg = C.apply_overrides(cfg, ["roi_extractor.max_samples=8"])
+        print("[test] exact RoIAlign grid (max_samples=8); pass --fast "
+              "for the serving preset", file=sys.stderr)
     scale = (
         tuple(int(v) for v in args.scale.split("x"))
         if args.scale else cfg.test_scale
     )
-    model, variables = init_detector(cfg, args.checkpoint)
     dataset = CocoDataset(args.ann, args.img_root, test_mode=True)
+    calib = None
+    if (args.checkpoint and any(cfg.backbone.stage_with_dcn)
+            and dataset.records):
+        # calibrate the DCN dispatch on REAL val images (apis
+        # _auto_calibrate_dcn falls back to noise without them)
+        from htd_tpu.data.coco import make_test_batch
+
+        recs = [r for r in dataset.records
+                if r.landscape == dataset.records[0].landscape][:4]
+        calib = make_test_batch(
+            dataset, recs, scale=scale, batch_size=len(recs)
+        )[0]
+    model, variables = init_detector(cfg, args.checkpoint, calib_images=calib)
     if args.eval == "proposal":
         from htd_tpu.apis import evaluate_proposals
 
@@ -157,8 +187,6 @@ def main():
                     score=float(s),
                 ))
         if skipped:
-            import sys
-
             print(f"[coco-dump] skipped {skipped} detections with labels "
                   f">= {n_cats} dataset categories", file=sys.stderr)
         with open(args.coco_dump, "w") as f:
