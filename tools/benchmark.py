@@ -21,6 +21,26 @@ import time
 import numpy as np
 
 
+def _program_flops(jitfn, *args):
+    """XLA cost-analysis FLOPs of one program application (the same
+    estimator tools/get_flops.py uses); None when unavailable."""
+    try:
+        analysis = jitfn.lower(*args).compile().cost_analysis()
+        f = analysis.get("flops") if analysis else None
+        return float(f) if f and f > 0 else None
+    except Exception:  # noqa: BLE001 — MFU is an extra, never fail the bench
+        return None
+
+
+def _chip_peak_flops():
+    try:
+        with open(os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "bench_constants.json")) as f:
+            return float(json.load(f)["chip_peak_flops"])
+    except Exception:  # noqa: BLE001
+        return None
+
+
 def _slope_time(run_n, n_small=2, n_big=12, repeats=3):
     float(run_n(1))  # compile + warmup
     def timed(n):
@@ -42,6 +62,9 @@ def main():
     p.add_argument("--width", type=int, default=None)
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--train", action="store_true", help="benchmark the train step")
+    p.add_argument("--no-mfu", action="store_true",
+                   help="skip the extra cost-analysis compile that the "
+                        "MFU estimate needs")
     args = p.parse_args()
 
     import jax
@@ -71,6 +94,7 @@ def main():
     shapes = jnp.asarray(np.tile([[h - 18.0, w - 11.0]], (b, 1)).astype(np.float32))
     sfs = jnp.ones((b, 4), jnp.float32)
 
+    flops_per_iter = None
     if not args.train:
         model, variables = init_detector(cfg, args.checkpoint)
 
@@ -83,6 +107,11 @@ def main():
 
         per_iter = _slope_time(lambda n: run_iters(variables, images, shapes, sfs, n))
         mode = "inference"
+        if not args.no_mfu:
+            flops_per_iter = _program_flops(
+                jax.jit(lambda v, im, sh, sf: model.apply(v, im, sh, sf)),
+                variables, images, shapes, sfs,
+            )
     else:
         from htd_tpu.train.train_step import TrainBatch, create_train_state, train_step
 
@@ -116,15 +145,30 @@ def main():
 
         per_iter = _slope_time(lambda n: run_iters(state, batch, n), n_big=8)
         mode = "train"
+        if not args.no_mfu:
+            # fwd+bwd+SGD FLOPs of the exact step program (VERDICT r04
+            # item 9: train optimization judged as utilization too)
+            # return the FULL new state: returning a scalar would let XLA
+            # dead-code-eliminate the step out of the costed program
+            flops_per_iter = _program_flops(
+                jax.jit(lambda st, bt: train_step(
+                    model, tx, st, bt, jax.random.PRNGKey(0))),
+                state, batch,
+            )
 
     ips = b / per_iter
-    print(json.dumps({
+    out = {
         "config": args.config,
         "mode": mode,
         "batch": b, "hw": [h, w],
         "images_per_sec": round(ips, 3),
         "ms_per_iter": round(1000 * per_iter, 3),
-    }))
+    }
+    peak = _chip_peak_flops()
+    if flops_per_iter and peak and jax.default_backend() != "cpu":
+        out["flops_per_img"] = round(flops_per_iter / b)
+        out["mfu"] = round(ips * flops_per_iter / b / peak, 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
