@@ -156,6 +156,9 @@ def _build_injection(record, gts):
 @pytest.fixture(scope="module")
 def pair():
     cfg = _cfg()
+    # differentiable torch RoIAlign: backbone/FPN grads must flow THROUGH
+    # roi features for full-tree gradient parity (the numpy oracle detaches)
+    TH.GRAD_ROI_ALIGN = True
     tm = TH.randomize(TH.TorchHTDDetector(depth=10), seed=3)
     variables = convert_mmdet_state_dict(TH.state_dict_np(tm), cfg)
     jm = HTDDetector(cfg)
@@ -194,7 +197,8 @@ def pair():
         gt_labels=jnp.asarray(gt_labels),
         gt_valid=jnp.asarray(gt_valid),
     )
-    return cfg, tm, jm, variables, t_losses, record, ov, jax_inputs
+    yield cfg, tm, jm, variables, t_losses, record, ov, jax_inputs
+    TH.GRAD_ROI_ALIGN = False
 
 
 LOSS_KEYS = ("loss_rpn_cls", "loss_rpn_bbox", "loss_global",
@@ -248,23 +252,50 @@ def test_gradients_match(pair):
 
     j_grads = jax.grad(total_loss)(variables["params"])
 
-    checks = [
-        ("stage-0 fc_cls.weight",
-         ("stage0_head", "fc_cls_kernel")),
-        ("stage-1 reg conv0",
-         ("stage1_head", "reg_conv0", "kernel")),
-        ("rpn conv",
-         ("rpn_head", "rpn_conv", "kernel")),
-    ]
-    tp = t_grads["params"]
-    for label, path in checks:
-        jt, tt = j_grads, tp
-        for k in path:
-            assert k in jt, f"{label}: missing {k} in jax grads {list(jt)}"
-            assert k in tt, f"{label}: missing {k} in torch grads {list(tt)}"
-            jt, tt = jt[k], tt[k]
-        jt = np.asarray(jt, np.float64)
-        tt = np.asarray(tt, np.float64)
-        scale = max(np.abs(tt).max(), 1e-6)
-        err = np.abs(jt - tt).max() / scale
-        assert err <= 5e-3, f"{label}: rel grad err {err:.2e} (scale {scale:.2e})"
+    # FULL-TREE parity (VERDICT r04 item 5): every leaf the converter
+    # maps must carry the same gradient — this catches dead or mis-mapped
+    # branches (per-level GCN kernels, SFA convs, attention 1x1s) that
+    # spot probes cannot. Tolerance ladder: leaves deeper in backprop
+    # (backbone) accumulate more resample/interp noise than head leaves.
+    def flatten(tree, path=()):
+        if isinstance(tree, dict):
+            out = {}
+            for k, v in tree.items():
+                out.update(flatten(v, path + (k,)))
+            return out
+        return {path: np.asarray(tree, np.float64)}
+
+    flat_j = flatten(j_grads)
+    flat_t = flatten(t_grads["params"])
+    assert set(flat_j) == set(flat_t), (
+        f"grad tree key mismatch: only-jax "
+        f"{sorted(set(flat_j) - set(flat_t))[:5]}, only-torch "
+        f"{sorted(set(flat_t) - set(flat_j))[:5]}"
+    )
+
+    def tol_for(path):
+        head = path[0]
+        if head == "backbone":
+            return 2e-2
+        if head in ("fpn", "neck"):
+            return 1e-2
+        return 5e-3
+
+    global_scale = max(np.abs(t).max() for t in flat_t.values())
+    failures = []
+    for path in sorted(flat_j):
+        jt, tt = flat_j[path], flat_t[path]
+        denom = max(np.abs(tt).max(), np.abs(jt).max())
+        # both effectively zero relative to the model's gradient scale
+        # (unused-but-converted leaves, e.g. BN running stats): fine
+        if denom <= 1e-9 * max(global_scale, 1.0):
+            continue
+        err = np.abs(jt - tt).max() / denom
+        if err > tol_for(path):
+            failures.append((".".join(path), err, denom))
+    assert not failures, (
+        f"{len(failures)} grad leaves off (worst 10): "
+        + "; ".join(f"{n} rel {e:.2e} scale {s:.2e}"
+                    for n, e, s in sorted(
+                        failures, key=lambda t: -t[1])[:10])
+    )

@@ -105,19 +105,78 @@ def multiclass_nms_t(multi_bboxes, multi_scores, score_thr, iou_thr, max_num):
     return dets, labels[keep]
 
 
+# When True, roi_align_t routes through the differentiable torch
+# implementation so autograd reaches backbone/FPN features THROUGH roi
+# features (full-tree train gradient parity). Default False: the detached
+# numpy oracle is faster for the big e2e inference parity suites, whose
+# only need is forward values.
+GRAD_ROI_ALIGN = False
+
+
 def roi_align_t(feat_nchw, rois, spatial_scale, out_size=7, sampling_ratio=0):
     """mmcv aligned RoIAlign via the independent numpy loop oracle.
 
     feat (1, C, H, W) single image; rois (R, 4) in image coords.
     """
+    if GRAD_ROI_ALIGN:
+        return roi_align_torch(feat_nchw, rois, spatial_scale, out_size,
+                               sampling_ratio)
     # NOTE: detach cuts autograd INTO the aligned features. Downstream
     # grads (roi-head fcs/convs, and the RPN path which never crosses
     # RoIAlign) stay exact; only backbone/FPN grads THROUGH roi features
-    # are unavailable from this oracle (test_train_parity.py respects that).
+    # are unavailable from this oracle (use GRAD_ROI_ALIGN for those).
     feat = feat_nchw[0].detach().permute(1, 2, 0).numpy().astype(np.float64)
     out = np_roi_align_fast(feat, rois.numpy().astype(np.float64),
                        spatial_scale, out_size, sampling_ratio)
     return torch.from_numpy(out).permute(0, 3, 1, 2).float()
+
+
+def roi_align_torch(feat_nchw, rois, spatial_scale, out_size=7,
+                    sampling_ratio=0):
+    """Differentiable torch transcription of np_roi_align_fast (same
+    separable-bilinear order, float64). Indices/fracs are computed in
+    numpy from the (constant) rois — mmcv RoIAlign defines no roi
+    gradient — so autograd flows only into the features."""
+    feat = feat_nchw[0].permute(1, 2, 0).double()  # (H, W, C), keeps graph
+    h, w, _ = feat.shape
+    rois_np = rois.detach().numpy().astype(np.float64)
+
+    def axis_samples(start, bin_sz, grid, size):
+        p = np.arange(out_size)[:, None]
+        i = np.arange(grid)[None, :]
+        coord = (start + (p + (i + 0.5) / grid) * bin_sz).reshape(-1)
+        inside = (coord >= -1.0) & (coord <= size)
+        cc = np.maximum(coord, 0.0)
+        low = np.minimum(np.floor(cc), size - 1).astype(np.int64)
+        high = np.minimum(low + 1, size - 1)
+        frac = np.where(cc >= size - 1, 0.0, cc - low)
+        return low, high, frac, inside
+
+    outs = []
+    for ri in range(rois_np.shape[0]):
+        x1, y1, x2, y2 = rois_np[ri]
+        start_w = x1 * spatial_scale - 0.5
+        start_h = y1 * spatial_scale - 0.5
+        roi_w = (x2 - x1) * spatial_scale
+        roi_h = (y2 - y1) * spatial_scale
+        bin_w, bin_h = roi_w / out_size, roi_h / out_size
+        if sampling_ratio > 0:
+            gw = gh = sampling_ratio
+        else:
+            gw = max(int(np.ceil(roi_w / out_size)), 1)
+            gh = max(int(np.ceil(roi_h / out_size)), 1)
+        yl, yh, fy, iny = axis_samples(start_h, bin_h, gh, int(h))
+        xl, xh, fx, inx = axis_samples(start_w, bin_w, gw, int(w))
+        fy_t = torch.from_numpy(fy)[:, None, None]
+        fx_t = torch.from_numpy(fx)[None, :, None]
+        rowv = (1 - fy_t) * feat[yl] + fy_t * feat[yh]
+        rowv = rowv * torch.from_numpy(iny.astype(np.float64))[:, None, None]
+        vals = (1 - fx_t) * rowv[:, xl] + fx_t * rowv[:, xh]
+        vals = vals * torch.from_numpy(inx.astype(np.float64))[None, :, None]
+        c = vals.shape[-1]
+        out = vals.reshape(out_size, gh, out_size, gw, c).sum(dim=(1, 3))
+        outs.append(out / (gh * gw))
+    return torch.stack(outs).permute(0, 3, 1, 2).float()
 
 
 def deform_conv_t(x, offset, weight, stride=1, padding=1, dilation=1,
