@@ -396,6 +396,32 @@ def roi_align_pyramid_batched_grad_feats(
     clip-mode gather relies on).
     """
     b, r = rois.shape[0], rois.shape[1]
+    img_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), r)
+    return roi_align_pyramid_flat_grad_feats(
+        feats, rois.reshape(-1, 4), strides, target_lvls.reshape(-1),
+        img_idx, g.reshape(-1, out_size, out_size, feats[0].shape[-1]),
+        out_size=out_size, sampling_ratio=sampling_ratio,
+        max_samples=max_samples,
+    )
+
+
+def roi_align_pyramid_flat_grad_feats(
+    feats: Sequence[Array],
+    rois_flat: Array,              # (N, 4)
+    strides: Sequence[int],
+    lv: Array,                     # (N,) level per roi
+    img_idx: Array,                # (N,) image per roi
+    g: Array,                      # (N, out, out, C) cotangent
+    out_size: int = 7,
+    sampling_ratio: int = 0,
+    max_samples: int = 4,
+):
+    """Flat-roi-list variant of `roi_align_pyramid_batched_grad_feats`
+    (explicit per-roi image indices instead of a (B, R) layout) — used
+    directly by the Pallas backward kernel's overflow fallback, which
+    routes an arbitrary cross-image roi subset through the folded
+    scatter."""
+    b = feats[0].shape[0]
     c = feats[0].shape[-1]
     oh = ow = out_size
     s = int(sampling_ratio) if sampling_ratio > 0 else int(max_samples)
@@ -407,9 +433,6 @@ def roi_align_pyramid_batched_grad_feats(
     lvl_offs = np.concatenate([[0], np.cumsum(sizes)])[:-1].astype(np.int32)
     scales = np.array([1.0 / st for st in strides], np.float32)
 
-    lv = target_lvls.reshape(-1)
-    img_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), r)
-    rois_flat = rois.reshape(-1, 4)
     fh = jnp.asarray(hs)[lv]
     fw = jnp.asarray(ws)[lv]
     base = jnp.asarray(lvl_offs)[lv] + img_idx * img_size

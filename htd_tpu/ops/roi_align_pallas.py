@@ -1983,15 +1983,396 @@ def roi_align_fused_batched(
     return flat_out.reshape(b, r, out_size, out_size, c)
 
 
+def roi_align_pallas_v4_bwd(
+    feats: Sequence[Array],
+    rois: Array,             # (B, R, 4)
+    strides: Sequence[int],
+    target_lvls: Array,      # (B, R)
+    g: Array,                # (B, R, out, out, C) cotangent
+    out_size: int = 7,
+    sampling_ratio: int = 0,
+    max_samples: int = 4,
+    slots: "int | None" = None,
+    interpret: bool = False,
+):
+    """Pallas window-accumulation backward for the fused batched extractor
+    (the round-5 design from PERF.md: the corner-folded XLA scatter runs
+    at the measured ~44 GB/s scatter ceiling — 31 ms per extraction, the
+    top op of BOTH train steps).
+
+    Structure = the TRANSPOSE of the v4 forward, re-gridded over OUTPUT
+    blocks so every d_pyramid block is written exactly once (no scatter,
+    no read-modify-write):
+
+      * rois are binned to (y_stripe, x_block)-origin windows exactly like
+        the forward (`_v4_bin_rois`, no spill) and their per-slot interp
+        matrices Ay (count-folded) / Ax are built by the SAME
+        `_interp_matrix_k` — so the contribution of roi r to window pixel
+        (h, w) is Ay[r, y, h] * Ax[r, x, w] * g[r, y, x], the exact
+        gradient of the forward's two-matmul formulation (== the gather
+        formulation's gradient, mmcv semantics incl. border clamps);
+      * the kernel grid walks the (16, 96)-blocked x-major d_pyramid;
+        each step accumulates in f32 the contributions of the <= 10
+        windows covering its block (relative positions ky in [0,5) x kx
+        in [0,2)), each computed as two MXU contractions:
+            t  = AyT_stripe_bd (K*16, K*7) @ g_bin (K*7y, 7x*C)
+            d += AxT_chunk       (96, K*7) @ t'   (K*7x, 16*C)
+        (t' is t with the per-slot (h, x) dims swapped);
+      * per-(ky) inputs arrive as whole bin-ROWS (all x-bins of stripe
+        row by-ky) so sweeping bx refetches nothing, and the x-bin is
+        dynamic-sliced in VMEM; out-of-range / empty neighbours skip via
+        @pl.when on program-id arithmetic + a prefetched occupancy table.
+
+    Rois that overflow their bin's `slots` capacity or the window
+    coverage return in the `overflow` mask; the caller routes them
+    through the capped folded-scatter fallback. Returns
+    (d_pyr (w_pad, rows_pad, C) x-major, geometry dict, overflow (B*R,)).
+    """
+    f32 = jnp.float32
+    b, r = rois.shape[0], rois.shape[1]
+    c = feats[0].shape[-1]
+    dt = feats[0].dtype
+    if slots is None:
+        slots = int(os.environ.get("HTD_RA_BWD_SLOTS", "8"))
+    k_sl = slots
+
+    # pyramid GEOMETRY only (no data build — the backward never reads
+    # features); must match _v4_pyramid / _build_pyramid exactly
+    max_w = max(int(f.shape[-2]) for f in feats)
+    w_pad = ((max_w - 1) // V4_X_BLOCK + 2) * V4_X_BLOCK
+    offsets = [0]
+    for f in feats:
+        offsets.append(offsets[-1] + int(f.shape[-3]))
+    img_rows = offsets[-1]
+    offsets = offsets[:-1]
+    rows = b * img_rows
+    rows_pad = ((rows + V4_RES_H + V4_Y_STRIPE - 1)
+                // V4_Y_STRIPE * V4_Y_STRIPE)
+    n_ybins = rows_pad // V4_Y_STRIPE - (V4_N_Y - 1)
+    n_xbins = w_pad // V4_X_BLOCK - (V4_N_X - 1)
+    n_bins = n_ybins * n_xbins
+
+    flat_rois = rois.reshape(b * r, 4).astype(f32)
+    flat_lvls = target_lvls.reshape(b * r)
+    img_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), r)
+    scales = jnp.asarray([1.0 / s for s in strides], f32)[flat_lvls]
+    start_w = flat_rois[:, 0] * scales - 0.5
+    start_h = flat_rois[:, 1] * scales - 0.5
+    bin_w = (flat_rois[:, 2] - flat_rois[:, 0]) * scales / out_size
+    bin_h = (flat_rois[:, 3] - flat_rois[:, 1]) * scales / out_size
+    if sampling_ratio > 0:
+        s_max = sampling_ratio
+        grid_w = jnp.full((b * r,), sampling_ratio, f32)
+        grid_h = jnp.full((b * r,), sampling_ratio, f32)
+    else:
+        s_max = max_samples
+        grid_w = jnp.clip(jnp.ceil(bin_w), 0, s_max)
+        grid_h = jnp.clip(jnp.ceil(bin_h), 0, s_max)
+    hs = jnp.asarray([float(f.shape[-3]) for f in feats], f32)[flat_lvls]
+    ws = jnp.asarray([float(f.shape[-2]) for f in feats], f32)[flat_lvls]
+    row_off = jnp.asarray(np.asarray(offsets, np.float32))[flat_lvls]
+    row_off = row_off + img_idx.astype(f32) * float(img_rows)
+
+    roi_ok = ((flat_rois[:, 2] - flat_rois[:, 0]) > 0.0) & (
+        (flat_rois[:, 3] - flat_rois[:, 1]) > 0.0
+    )
+    ext_w = (flat_rois[:, 2] - flat_rois[:, 0]) * scales
+    ext_h = (flat_rois[:, 3] - flat_rois[:, 1]) * scales
+    size_ovf = (ext_w > V4_COVER_W) | (ext_h > V4_COVER_H)
+
+    _, _, _, slot_roi, slot_ovf, _ = _v4_bin_rois(
+        start_h, start_w, hs, ws, row_off, n_ybins, n_xbins, k_sl,
+        roi_valid=roi_ok & ~size_ovf, n_spill=0,
+    )
+    # size-overflow rois were excluded from binning (roi_valid) so they
+    # cannot claim slots; they exit purely via the fallback mask
+    overflow = (slot_ovf | size_ovf) & roi_ok
+
+    bins = jnp.arange(n_bins, dtype=jnp.int32)
+    ybin_b = bins // n_xbins
+    xbin_b = bins % n_xbins
+    take = jnp.minimum(slot_roi[: n_bins * k_sl], b * r - 1)
+    valid = (slot_roi[: n_bins * k_sl] < b * r).astype(f32)
+    y_origin = (jnp.repeat(ybin_b, k_sl) * V4_Y_STRIPE).astype(f32) \
+        - row_off[take]
+    x_origin = (jnp.repeat(xbin_b, k_sl) * V4_X_BLOCK).astype(f32)
+
+    ay = _interp_matrix_k(
+        start_h[take], bin_h[take], grid_h[take], hs[take], y_origin,
+        V4_RES_H, out_size, s_max, valid,
+    )  # (n_bins*K, 7, RES_H)
+    ax = _interp_matrix_k(
+        start_w[take], bin_w[take], grid_w[take], ws[take], x_origin,
+        V4_RES_W, out_size, s_max, valid,
+    )  # (n_bins*K, 7, RES_W)
+    count = jnp.maximum(grid_h[take] * grid_w[take], 1.0)
+    ay = ay / count[:, None, None]
+
+    # AyT block-diagonal (rows (k, h), cols (k, y)); built in dt directly
+    eye = jnp.eye(k_sl, dtype=dt)
+    ay_t = jnp.swapaxes(
+        ay.reshape(n_bins, k_sl, out_size, V4_RES_H), 2, 3
+    ).astype(dt)  # (n, K, H, 7)
+    ayT_bd = jnp.einsum("nkhy,kq->nkhqy", ay_t, eye).reshape(
+        n_ybins, n_xbins, k_sl * V4_RES_H, k_sl * out_size
+    )
+    # AxT chunks: (n, kx, 96, (k, x))
+    axT = jnp.transpose(
+        ax.reshape(n_bins, k_sl, out_size, V4_N_X, V4_X_BLOCK).astype(dt),
+        (0, 3, 4, 1, 2),
+    ).reshape(n_ybins, n_xbins, V4_N_X, V4_X_BLOCK, k_sl * out_size)
+
+    # slot-ordered cotangents, rows (k, y), cols (x, c); empty slots pull
+    # the appended zero row
+    g_flat = g.reshape(b * r, out_size, out_size, c).astype(dt)
+    g_pad = jnp.concatenate(
+        [g_flat, jnp.zeros((1, out_size, out_size, c), dt)], axis=0
+    )
+    g_take = jnp.where(slot_roi[: n_bins * k_sl] < b * r,
+                       slot_roi[: n_bins * k_sl], b * r)
+    g_tab = g_pad[g_take].reshape(
+        n_ybins, n_xbins, k_sl * out_size, out_size * c
+    )
+
+    occ = (slot_roi[: n_bins * k_sl].reshape(n_bins, k_sl) < b * r
+           ).any(axis=1).astype(jnp.int32)
+
+    geom = dict(w_pad=w_pad, rows_pad=rows_pad, img_rows=img_rows,
+                offsets=offsets, b=b)
+
+    n_by = rows_pad // V4_Y_STRIPE
+    n_bx = w_pad // V4_X_BLOCK
+
+    if (interpret or jax.default_backend() == "cpu") \
+            and not _FORCE_KERNEL_INTERPRET:
+        # jnp emulation with identical math (validates tables/binning)
+        d = jnp.zeros((w_pad, rows_pad, c), f32)
+        ayT_f = ayT_bd.reshape(n_bins, k_sl * V4_RES_H, k_sl * out_size)
+        axT_f = axT.reshape(n_bins, V4_N_X, V4_X_BLOCK, k_sl * out_size)
+        g_f = g_tab.reshape(n_bins, k_sl * out_size, out_size * c)
+
+        def win_of(nb, dwin):
+            # t rows (k, h), cols (x, c)
+            t = jnp.dot(ayT_f[nb].astype(f32), g_f[nb].astype(f32))
+            t = t.reshape(k_sl, V4_RES_H, out_size, c)
+            t = jnp.swapaxes(t, 1, 2).reshape(
+                k_sl * out_size, V4_RES_H * c)
+            for kx in range(V4_N_X):
+                dwin = dwin.at[kx].set(jnp.dot(
+                    axT_f[nb, kx].astype(f32), t
+                ).reshape(V4_X_BLOCK, V4_RES_H, c))
+            return dwin
+
+        for nb in range(n_bins):
+            yb, xb = nb // n_xbins, nb % n_xbins
+            dwin = jnp.zeros((V4_N_X, V4_X_BLOCK, V4_RES_H, c), f32)
+            dwin = jax.lax.cond(
+                occ[nb] > 0, lambda dw, i=nb: win_of(i, dw),
+                lambda dw: dw, dwin)
+            d = jax.lax.dynamic_update_slice(
+                d,
+                jax.lax.dynamic_slice(
+                    d, (xb * V4_X_BLOCK, yb * V4_Y_STRIPE, 0),
+                    (V4_RES_W, V4_RES_H, c),
+                ) + dwin.reshape(V4_RES_W, V4_RES_H, c),
+                (xb * V4_X_BLOCK, yb * V4_Y_STRIPE, 0),
+            )
+        return d.astype(dt), geom, overflow
+
+    def kernel(occ_ref, *refs):
+        ay_refs = refs[0:V4_N_Y]
+        ax_refs = refs[V4_N_Y:2 * V4_N_Y]
+        g_refs = refs[2 * V4_N_Y:3 * V4_N_Y]
+        out_ref = refs[3 * V4_N_Y]
+        acc_ref = refs[3 * V4_N_Y + 1]
+        by = pl.program_id(0)
+        bx = pl.program_id(1)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        for ky in range(V4_N_Y):
+            row = by - ky
+            rok = jnp.logical_and(row >= 0, row < n_ybins)
+            for kx in range(V4_N_X):
+                col = bx - kx
+                cok = jnp.logical_and(col >= 0, col < n_xbins)
+                cc = jnp.clip(col, 0, n_xbins - 1)
+                rc = jnp.clip(row, 0, n_ybins - 1)
+                is_occ = occ_ref[rc * n_xbins + cc] > 0
+
+                @pl.when(jnp.logical_and(jnp.logical_and(rok, cok), is_occ))
+                def _contrib(ky=ky, kx=kx, cc=cc):
+                    ayT = ay_refs[ky][0, cc]    # (K*RES_H, K*7)
+                    gb = g_refs[ky][0, cc]      # (K*7, 7*c)
+                    # stripe ky of the window: rows k*RES_H + ky*16 + h
+                    ay_s = ayT.reshape(k_sl, V4_RES_H, k_sl * out_size)[
+                        :, ky * V4_Y_STRIPE:(ky + 1) * V4_Y_STRIPE, :
+                    ].reshape(k_sl * V4_Y_STRIPE, k_sl * out_size)
+                    t = jnp.dot(ay_s, gb,
+                                preferred_element_type=f32).astype(dt)
+                    # rows (k, h), cols (x, c) -> rows (k, x), cols (h, c)
+                    t4 = t.reshape(k_sl, V4_Y_STRIPE, out_size, c)
+                    t4 = jnp.swapaxes(t4, 1, 2)  # (K, 7x, 16, C)
+                    s2 = t4.reshape(k_sl * out_size, V4_Y_STRIPE * c)
+                    # NOTE: the (bin, ky)-dependent t is NOT hoisted out of
+                    # the kx loop on purpose — the two kx arms see different
+                    # bins (col = bx - kx), so their t's differ.
+                    axc = ax_refs[ky][0, cc, kx]  # (96, K*7)
+                    acc_ref[...] += jnp.dot(
+                        axc, s2, preferred_element_type=f32
+                    ).reshape(V4_X_BLOCK, V4_Y_STRIPE, c)
+
+        out_ref[0] = acc_ref[...].astype(out_ref.dtype)
+
+    def row_spec(shape, ky):
+        return pl.BlockSpec(
+            (1,) + shape,
+            functools.partial(
+                lambda by, bx, occ, ky, nd:
+                    (jnp.clip(by - ky, 0, n_ybins - 1),) + (0,) * nd,
+                ky=ky, nd=len(shape),
+            ),
+            memory_space=pltpu.VMEM,
+        )
+
+    in_specs = (
+        [row_spec((n_xbins, k_sl * V4_RES_H, k_sl * out_size), ky)
+         for ky in range(V4_N_Y)]
+        + [row_spec((n_xbins, V4_N_X, V4_X_BLOCK, k_sl * out_size), ky)
+           for ky in range(V4_N_Y)]
+        + [row_spec((n_xbins, k_sl * out_size, out_size * c), ky)
+           for ky in range(V4_N_Y)]
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_by, n_bx),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, V4_X_BLOCK, V4_Y_STRIPE, c),
+            lambda by, bx, occ: (bx, 0, by, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((V4_X_BLOCK, V4_Y_STRIPE, c), f32)
+        ],
+    )
+
+    d_pyr = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_bx, V4_X_BLOCK, rows_pad, c), dt),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret or _FORCE_KERNEL_INTERPRET,
+    )(occ, *([ayT_bd] * V4_N_Y + [axT] * V4_N_Y + [g_tab] * V4_N_Y))
+
+    d_pyr = d_pyr.reshape(w_pad, rows_pad, c)
+    return d_pyr, geom, overflow
+
+
+def roi_align_fused_batched_grad_feats(
+    feats, rois, strides, target_lvls, g,
+    out_size=7, sampling_ratio=0, max_samples=4, interpret=False,
+):
+    """d(loss)/d(feats) via the Pallas window-accumulation kernel +
+    tiered folded-scatter fallback for overflow rois (HTD_RA_BWD=pallas).
+
+    Exactness contract: EXACT everywhere. Kernel-covered rois get the
+    exact gather-formulation gradient (same tent matrices as the
+    forward); overflow rois (bin capacity / window coverage) go through
+    the exact corner-folded scatter, tiered on the RUNTIME overflow
+    count with lax.cond (the forward's fb_cond pattern):
+      0 overflow          -> skip the scatter entirely (common case);
+      <= HTD_RA_BWD_FB*B  -> small fixed-cap subset scatter (64/img);
+      else                -> full folded scatter with g masked to the
+                             overflow rois — same cost as the pre-kernel
+                             fold backward, so the worst (pathological
+                             crowding) case is never SLOWER than round 4,
+                             and no roi ever loses its gradient.
+    """
+    from htd_tpu.ops.roi_align import (
+        roi_align_pyramid_batched_grad_feats,
+        roi_align_pyramid_flat_grad_feats,
+    )
+
+    b, r = rois.shape[0], rois.shape[1]
+    c = feats[0].shape[-1]
+    d_pyr, geom, overflow = roi_align_pallas_v4_bwd(
+        feats, rois, strides, target_lvls, g,
+        out_size=out_size, sampling_ratio=sampling_ratio,
+        max_samples=max_samples, interpret=interpret,
+    )
+    # x-major pyramid -> per-level planes
+    d3 = jnp.swapaxes(d_pyr, 0, 1)[: geom["b"] * geom["img_rows"]]
+    d3 = d3.reshape(geom["b"], geom["img_rows"], geom["w_pad"], c)
+    dfeats = []
+    for lvl, f in enumerate(feats):
+        hl, wl = int(f.shape[-3]), int(f.shape[-2])
+        off = geom["offsets"][lvl]
+        dfeats.append(d3[:, off:off + hl, :wl, :].astype(f.dtype))
+
+    cap_small = min(int(os.environ.get("HTD_RA_BWD_FB", "64")) * b, b * r)
+    if cap_small <= 0:
+        return dfeats
+    flat_rois = rois.reshape(b * r, 4)
+    flat_lvls = target_lvls.reshape(b * r)
+    img_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), r)
+    g_flat = g.reshape(b * r, out_size, out_size, c)
+    ovf_f = overflow.astype(jnp.float32)
+    n_ovf = jnp.sum(overflow.astype(jnp.int32))
+
+    def zero_fb(_):
+        return [jnp.zeros_like(a) for a in dfeats]
+
+    def small_fb(_):
+        top, idx = jax.lax.top_k(ovf_f, cap_small)
+        g_sub = jnp.where(top[:, None, None, None] > 0.0,
+                          g_flat[idx], 0.0).astype(g_flat.dtype)
+        return roi_align_pyramid_flat_grad_feats(
+            feats, flat_rois[idx], strides, flat_lvls[idx], img_idx[idx],
+            g_sub, out_size=out_size, sampling_ratio=sampling_ratio,
+            max_samples=max_samples,
+        )
+
+    def full_fb(_):
+        g_mask = jnp.where(
+            overflow.reshape(b, r)[:, :, None, None, None], g, 0.0
+        ).astype(g.dtype)
+        return roi_align_pyramid_batched_grad_feats(
+            feats, rois, strides, target_lvls, g_mask,
+            out_size=out_size, sampling_ratio=sampling_ratio,
+            max_samples=max_samples,
+        )
+
+    if cap_small >= b * r:
+        d_fb = jax.lax.cond(n_ovf == 0, zero_fb, full_fb, 0)
+    else:
+        d_fb = jax.lax.cond(
+            n_ovf == 0, zero_fb,
+            lambda o: jax.lax.cond(
+                n_ovf <= cap_small, small_fb, full_fb, o),
+            0,
+        )
+    return [a + fb.astype(a.dtype) for a, fb in zip(dfeats, d_fb)]
+
+
 @functools.lru_cache(maxsize=None)
 def _trainable_fused_batched(strides, out_size, sampling_ratio, max_samples,
                              interpret, kernel="v4"):
     """custom_vjp wrapper for the batched fused extractor: Pallas forward,
-    corner-folded scatter backward (gradients flow into features only).
+    Pallas window-accumulation backward on TPU (gradients flow into
+    features only).
 
-    HTD_RA_BWD=vjp restores the autodiff-of-gather backward (4x the
-    scatter rows; the round-4 train profile measured it at 50% of the
-    whole b2 train step) — kept as the A/B + numerics oracle."""
+    HTD_RA_BWD selects the backward:
+      * pallas (default on TPU) — `roi_align_fused_batched_grad_feats`:
+        the transpose-of-forward kernel + capped folded-scatter fallback
+        (PERF.md round-5: the folded scatter was the top op of both train
+        steps at the ~44 GB/s XLA scatter ceiling);
+      * fold (default off-TPU) — corner-folded XLA scatter;
+      * vjp — autodiff-of-gather (4x the scatter rows; numerics oracle).
+    """
     from htd_tpu.ops.roi_align import (
         roi_align_pyramid_batched as pyramid,
         roi_align_pyramid_batched_grad_feats as grad_feats,
@@ -2010,7 +2391,10 @@ def _trainable_fused_batched(strides, out_size, sampling_ratio, max_samples,
 
     def bwd(res, g):
         feats, rois, target_lvls = res
-        if os.environ.get("HTD_RA_BWD", "fold") == "vjp":
+        mode = os.environ.get("HTD_RA_BWD", "")
+        if mode == "":
+            mode = "pallas" if jax.default_backend() != "cpu" else "fold"
+        if mode == "vjp":
             _, vjp = jax.vjp(
                 lambda fs: pyramid(
                     list(fs), rois, strides, target_lvls,
@@ -2021,6 +2405,13 @@ def _trainable_fused_batched(strides, out_size, sampling_ratio, max_samples,
             )
             (dfeats,) = vjp(g.astype(feats[0].dtype))
             return dfeats, None, None
+        if mode == "pallas":
+            dfeats = roi_align_fused_batched_grad_feats(
+                list(feats), rois, strides, target_lvls, g,
+                out_size=out_size, sampling_ratio=sampling_ratio,
+                max_samples=max_samples, interpret=interpret,
+            )
+            return tuple(dfeats), None, None
         dfeats = grad_feats(
             list(feats), rois, strides, target_lvls, g,
             out_size=out_size, sampling_ratio=sampling_ratio,
