@@ -394,6 +394,14 @@ def _dcn_dx_window(x, offsets, weight, g, kh, kw, dilation, pad, lo, hi,
     (so this computes the gradient of the windowed+corrected forward;
     beyond-cap truncation matches the forward's documented behavior,
     unlike the default 'fold' path which takes exact-DCN gradients).
+
+    Mixed-semantics caveat: in window mode only d_x is windowed — the
+    d_off/d_w cotangents still come from the vjp of the exact gather
+    formulation (_pallas_dcn_fn.bwd), so the three gradients are not all
+    derived from the same forward when offsets escape the window. With
+    mmcv's zero-init offset convs nothing escapes and the three agree;
+    deriving d_off/d_w from the windowed formulation too is deliberate
+    future work if window mode ever becomes a training default.
     """
     n, h, w, cin = (int(s) for s in x.shape)
     cout = int(weight.shape[-1])
@@ -494,6 +502,93 @@ def _dcn_dx_window(x, offsets, weight, g, kh, kw, dilation, pad, lo, hi,
     return (d_x + corr).astype(x.dtype)
 
 
+def _dcn_dx_pallas(x, offsets, weight, g, kh, kw, dilation, pad, lo, hi,
+                   cap, interpret=False):
+    """d_x via the Pallas select-MAC transpose kernel + exact capped
+    correction (stride 1, dg=1) — the round-5 kernel from PERF.md's
+    design note: the XLA-graph form of this transpose loses to the folded
+    scatter (per-term materialization), but inside a Pallas kernel the
+    shifts are static VMEM slices and no scatter exists at all.
+
+    Semantics: the gradient of the windowed+corrected forward — identical
+    to the exact gather d_x whenever the correction cap covers every
+    out-of-window sample (the same fidelity contract as the forward
+    kernel; `calibrate_dcn` picks the cap). d_off/d_w still come from the
+    exact-gather vjp (see _dcn_dx_window's mixed-semantics note).
+    """
+    from htd_tpu.ops.dcn_pallas import dcn_dx_pallas
+
+    n, h, w, cin = (int(s) for s in x.shape)
+    cout = int(weight.shape[-1])
+    k = kh * kw
+    f32 = jnp.float32
+    ho, wo = int(offsets.shape[1]), int(offsets.shape[2])
+
+    # tap-major transposed weights: rows [t*Cout, (t+1)*Cout) = W_t^T
+    wT = jnp.transpose(
+        weight.reshape(k, cin, cout), (0, 2, 1)
+    ).reshape(k * cout, cin).astype(g.dtype)
+
+    dxs = []
+    for img in range(n):
+        dxs.append(dcn_dx_pallas(
+            g[img], offsets[img].astype(f32), wT, kh, kw, pad, dilation,
+            lo, hi, h, w, cin, interpret=interpret,
+        ))
+    d_x = jnp.stack(dxs).astype(f32)
+
+    # exact capped correction for out-of-window samples (the transpose of
+    # the forward's correction pass; d_col computed only at flagged px)
+    ys, xs = _dcn_sample_coords(x, offsets, kh, kw, 1, dilation, pad)
+    inside = (ys > -1.0) & (ys < h) & (xs > -1.0) & (xs < w)
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    oy = jnp.arange(ho, dtype=f32) - pad
+    ox = jnp.arange(wo, dtype=f32) - pad
+    ky = np.repeat(np.arange(kh, dtype=np.float32) * dilation, kw)
+    kx = np.tile(np.arange(kw, dtype=np.float32) * dilation, kh)
+    base_y = oy[None, :, None, None] + jnp.asarray(ky)[None, None, None, :]
+    base_x = ox[None, None, :, None] + jnp.asarray(kx)[None, None, None, :]
+    dy = y0 - base_y
+    dx_d = x0 - base_x
+    in_win = ((dy >= lo) & (dy <= hi) & (dx_d >= lo) & (dx_d <= hi))
+    need = inside & ~in_win
+    flag = jnp.any(need, axis=-1).astype(f32)
+    cap = max(1, min(cap, ho * wo))
+    wT3 = jnp.transpose(weight.reshape(k, cin, cout), (0, 2, 1))  # (k,co,ci)
+
+    def corr_one(flag_i, ys_i, xs_i, need_i, g_i):
+        _, idx = jax.lax.top_k(flag_i.reshape(-1), cap)
+        sel = jnp.take(flag_i.reshape(-1), idx) > 0.0
+        ysel = jnp.take(ys_i.reshape(-1, k), idx, axis=0)
+        xsel = jnp.take(xs_i.reshape(-1, k), idx, axis=0)
+        nsel = jnp.take(need_i.reshape(-1, k), idx, axis=0) & sel[:, None]
+        gsel = jnp.take(g_i.reshape(-1, cout), idx, axis=0).astype(f32)
+        dsel = jnp.einsum("pc,kcd->pkd", gsel, wT3.astype(f32))
+        y0s = jnp.floor(ysel)
+        x0s = jnp.floor(xsel)
+        lys = (ysel - y0s).astype(f32)
+        lxs = (xsel - x0s).astype(f32)
+        y0i = y0s.astype(jnp.int32)
+        x0i = x0s.astype(jnp.int32)
+        d = jnp.zeros((h * w + w + 2, cin), f32)
+        for cy in range(2):
+            for cx in range(2):
+                yi = y0i + cy
+                xi = x0i + cx
+                ok = ((yi >= 0) & (yi < h) & (xi >= 0) & (xi < w) & nsel)
+                wgt = (jnp.where(cy, lys, 1 - lys)
+                       * jnp.where(cx, lxs, 1 - lxs)
+                       * ok.astype(f32))
+                p = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
+                d = d.at[p.reshape(-1)].add(
+                    (wgt[..., None] * dsel).reshape(-1, cin))
+        return d[:h * w].reshape(h, w, cin)
+
+    corr = jax.vmap(corr_one)(flag, ys, xs, need, g.astype(f32))
+    return (d_x + corr).astype(x.dtype)
+
+
 @functools.lru_cache(maxsize=None)
 def _pallas_dcn_fn(dilation: int, pad: int, m: int, cap: int,
                    lo: int | None = None, hi: int | None = None,
@@ -519,18 +614,32 @@ def _pallas_dcn_fn(dilation: int, pad: int, m: int, cap: int,
         return f(x, offsets, weight), (x, offsets, weight)
 
     def bwd(res, g):
-        mode = os.environ.get("HTD_DCN_DX", "fold")
-        if mode == "window" and stride != 1:
+        mode = os.environ.get("HTD_DCN_DX", "")
+        if mode == "":
+            # Pallas select-MAC transpose d_x by default on TPU (stride 1;
+            # the three stage-entry stride-2 convs keep the folded
+            # scatter); HTD_DCN_DX=fold restores round-4 behavior
+            mode = (
+                "pallas"
+                if stride == 1 and jax.default_backend() != "cpu"
+                else "fold"
+            )
+        if mode in ("window", "pallas") and stride != 1:
             mode = "fold"
-        if mode in ("fold", "window"):
+        if mode in ("fold", "window", "pallas"):
             x, offsets, weight = res
             kh, kw = int(weight.shape[0]), int(weight.shape[1])
             _, vjp_ow = jax.vjp(
                 lambda o, wt: ref(x, o, wt), offsets, weight
             )
             d_off, d_w = vjp_ow(g)
-            if mode == "window":
-                wlo, whi = (lo, hi) if lo is not None else (-m, m)
+            wlo, whi = (lo, hi) if lo is not None else (-m, m)
+            if mode == "pallas":
+                d_x = _dcn_dx_pallas(
+                    x, offsets, weight, g, kh, kw, dilation, pad,
+                    wlo, whi, cap,
+                )
+            elif mode == "window":
                 d_x = _dcn_dx_window(
                     x, offsets, weight, g.astype(jnp.float32),
                     kh, kw, dilation, pad, wlo, whi, cap,

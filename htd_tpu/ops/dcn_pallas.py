@@ -233,6 +233,153 @@ def dcn_sample_conv_pallas(
     return out[:ho, :wo], flag[:ho, :wo, 0]
 
 
+def _dcn_dx_kernel(g0_ref, g1_ref, off0_ref, off1_ref, wT_ref, dx_ref,
+                   *, r, wxp, wgp, c, cout, kh, kw, lo, hi, h, w, pad, dil,
+                   s_hi, sx_hi, out_dtype):
+    """d_x row-block via the select-MAC TRANSPOSE (stride 1).
+
+    The forward writes out[oy] += w_shift * x[oy - pad + ky*dil + a ...];
+    its transpose is d_x[rx] += w_shift(oy) * d_col(oy) at
+    oy = rx + pad - ky*dil - a — for each static (tap, shift) pair a
+    static slice of the g-derived stripe, weighted by the same select
+    weights the forward builds from the offsets. No scatter anywhere.
+    """
+    f32 = jnp.float32
+    i = pl.program_id(0)
+    win = hi - lo + 2
+
+    g_stripe = jnp.concatenate([g0_ref[...], g1_ref[...]], axis=0)
+    off = jnp.concatenate(
+        [off0_ref[...], off1_ref[...]], axis=0).astype(f32)  # (2R, Wgp, 2K)
+
+    # global out coords of stripe-local (q, col): oy = i*R + q - s_hi,
+    # ox = col - sx_hi
+    row0 = (i * r - s_hi).astype(f32)
+    oy = jax.lax.broadcasted_iota(jnp.int32, (2 * r, wgp, 1), 0
+                                  ).astype(f32) + row0
+    ox = jax.lax.broadcasted_iota(jnp.int32, (2 * r, wgp, 1), 1
+                                  ).astype(f32) - sx_hi
+
+    acc = jnp.zeros((r, wxp, c), f32)
+    for kyi in range(kh):
+        for kxi in range(kw):
+            t = kyi * kw + kxi
+            # d_col_t over the whole stripe (one MXU dot per tap)
+            d_col = jax.lax.dot_general(
+                g_stripe.reshape(2 * r * wgp, cout),
+                wT_ref[pl.ds(t * cout, cout), :],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            ).reshape(2 * r, wgp, c).astype(g_stripe.dtype)
+
+            by = oy - pad + kyi * dil
+            bx = ox - pad + kxi * dil
+            ys = by + off[:, :, 2 * t: 2 * t + 1]
+            xs = bx + off[:, :, 2 * t + 1: 2 * t + 2]
+            y0 = jnp.floor(ys)
+            x0 = jnp.floor(xs)
+            ly = ys - y0
+            lx = xs - x0
+            dyc = y0 - by
+            dxc = x0 - bx
+            inside = (ys > -1.0) & (ys < h) & (xs > -1.0) & (xs < w)
+            in_win = (
+                (dyc >= lo) & (dyc <= hi) & (dxc >= lo) & (dxc <= hi)
+            )
+            live = (inside & in_win).astype(f32)
+
+            for ai in range(win):
+                a = ai + lo
+                wy = (
+                    jnp.where(dyc == a, 1.0 - ly, 0.0)
+                    + jnp.where(dyc == a - 1.0, ly, 0.0)
+                ) * live
+                du = s_hi - (kyi * dil + a - pad)
+                for bi in range(win):
+                    b = bi + lo
+                    wx = jnp.where(dxc == b, 1.0 - lx, 0.0) + jnp.where(
+                        dxc == b - 1.0, lx, 0.0
+                    )
+                    dv = sx_hi - (kxi * dil + b - pad)
+                    wgt = (wy * wx).astype(g_stripe.dtype)
+                    sl_w = jax.lax.slice(
+                        wgt, (du, dv, 0), (du + r, dv + wxp, 1))
+                    sl_d = jax.lax.slice(
+                        d_col, (du, dv, 0), (du + r, dv + wxp, c))
+                    acc = acc + (sl_w * sl_d).astype(f32)
+    dx_ref[...] = acc.astype(out_dtype)
+
+
+def dcn_dx_pallas(
+    g: Array,        # (Ho, Wo, Cout) cotangent, one image
+    offsets: Array,  # (Ho, Wo, 2K) f32
+    weightT: Array,  # (K*Cout, C), tap-major rows of W transposed per tap
+    kh: int,
+    kw: int,
+    pad: int,
+    dilation: int,
+    lo: int,
+    hi: int,
+    h: int,
+    w: int,
+    c: int,
+    interpret: bool = False,
+) -> Array:
+    """d_x (H, W, C) for the stride-1 dg=1 windowed DCN (select-MAC
+    transpose; out-of-window samples contribute 0 here and are resolved
+    by the caller's exact capped correction)."""
+    ho, wo = int(g.shape[0]), int(g.shape[1])
+    cout = int(g.shape[-1])
+    assert ho == h and wo == w, "stride-1 geometry"
+    r = 8
+    n_blocks = -(-h // r)
+    # shift range: rx = oy + (kyi*dil + a - pad), a in [lo, hi+1]
+    s_hi = (kh - 1) * dilation + hi + 1 - pad
+    s_lo = lo - pad
+    sx_hi = (kw - 1) * dilation + hi + 1 - pad
+    sx_lo = lo - pad
+    ell = r + (s_hi - s_lo)
+    if ell > 2 * r:
+        raise ValueError(f"window ({lo},{hi}) too large for R={r} blocks")
+    wxp = -(-w // 8) * 8
+    wgp = -(-(wxp + (sx_hi - sx_lo)) // 8) * 8
+    rows_pad = (n_blocks + 1) * r
+
+    # pad the stripes: leading s_hi rows / sx_hi cols of zeros so every
+    # (tap, shift) slice is in-bounds; zero rows contribute zero weight
+    g_p = jnp.pad(
+        g, ((s_hi, rows_pad - ho - s_hi), (sx_hi, wgp - wo - sx_hi), (0, 0))
+    )
+    off_p = jnp.pad(
+        offsets,
+        ((s_hi, rows_pad - ho - s_hi), (sx_hi, wgp - wo - sx_hi), (0, 0)),
+    )
+
+    kernel = functools.partial(
+        _dcn_dx_kernel,
+        r=r, wxp=wxp, wgp=wgp, c=c, cout=cout, kh=kh, kw=kw, lo=lo, hi=hi,
+        h=float(h), w=float(w), pad=pad, dil=dilation,
+        s_hi=s_hi, sx_hi=sx_hi, out_dtype=g.dtype,
+    )
+    dx = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((r, wgp, cout), lambda i: (i, 0, 0)),
+            pl.BlockSpec((r, wgp, cout), lambda i: (i + 1, 0, 0)),
+            pl.BlockSpec((r, wgp, offsets.shape[-1]), lambda i: (i, 0, 0)),
+            pl.BlockSpec((r, wgp, offsets.shape[-1]), lambda i: (i + 1, 0, 0)),
+            pl.BlockSpec((weightT.shape[0], c), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((r, wxp, c), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_blocks * r, wxp, c), g.dtype),
+        compiler_params=None if (interpret or _INTERPRET)
+        else pltpu.CompilerParams(vmem_limit_bytes=80 * 1024 * 1024),
+        interpret=interpret or _INTERPRET,
+    )(g_p, g_p, off_p, off_p, weightT)
+    return dx[:h, :w]
+
+
 def dcn_conv_windowed(
     x: Array,        # (N, H, W, C)
     offsets: Array,  # (N, Ho, Wo, 2K) any float dtype
