@@ -57,3 +57,44 @@ def test_flip_aug_runs(model_and_vars, rng):
     if len(boxes):
         assert boxes[:, 2].max() <= 90 + 1e-3
         assert boxes[:, 3].max() <= 60 + 1e-3
+
+
+def test_multiscale_flip_aug_runs(model_and_vars, rng):
+    """The mstrain TTA shape: 2 scales x [no-flip, flip] (the reference
+    MultiScaleFlipAug expansion) — merged output stays in the original
+    frame and is finite."""
+    model, variables = model_and_vars
+    img = rng.randint(0, 255, (60, 90, 3)).astype(np.uint8)
+    boxes, scores, labels = aug_inference_detector(
+        model, variables, img, scales=[(96, 64), (128, 80)], flip=True
+    )
+    assert np.isfinite(boxes).all() and np.isfinite(scores).all()
+    if len(boxes):
+        assert boxes[:, 2].max() <= 90 + 1e-3
+        assert boxes[:, 3].max() <= 60 + 1e-3
+
+
+def test_tta_jit_cache_keyed_by_config(model_and_vars, rng):
+    """VERDICT r04 item 8: rebuilding the variables (or the model object)
+    must REUSE the traced TTA programs — the cache is keyed by config,
+    not object ids, so it cannot grow with object churn."""
+    from htd_tpu import apis
+
+    model, variables = model_and_vars
+    img = rng.randint(0, 255, (60, 90, 3)).astype(np.uint8)
+    aug_inference_detector(model, variables, img, scales=[(96, 64)])
+    n0 = len(apis._TTA_JIT_CACHE)
+    assert n0 > 0
+
+    # fresh variables AND a fresh model object with an equal config
+    model2 = HTDDetector(model.cfg)
+    init = jax.jit(lambda r, im, sh, sf: model2.init({"params": r}, im, sh, sf))
+    variables2 = init(
+        jax.random.PRNGKey(1),
+        jnp.zeros((1, 64, 96, 3)),
+        jnp.asarray([[64.0, 96.0]]),
+        jnp.ones((1, 4)),
+    )
+    b, s, l = aug_inference_detector(model2, variables2, img, scales=[(96, 64)])
+    assert len(apis._TTA_JIT_CACHE) == n0, "TTA jit cache grew on object churn"
+    assert np.isfinite(b).all()
