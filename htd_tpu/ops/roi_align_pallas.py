@@ -2185,41 +2185,59 @@ def roi_align_pallas_v4_bwd(
         g_refs = refs[2 * V4_N_Y:3 * V4_N_Y]
         out_ref = refs[3 * V4_N_Y]
         acc_ref = refs[3 * V4_N_Y + 1]
+        t_scr = refs[3 * V4_N_Y + 2: 3 * V4_N_Y + 2 + V4_N_Y]
         by = pl.program_id(0)
         bx = pl.program_id(1)
-        acc_ref[...] = jnp.zeros_like(acc_ref)
+        acc_ref[...] = jnp.zeros((V4_X_BLOCK, V4_Y_STRIPE, c), f32)
 
+        # Per ky: the kx=1 arm's bin (col = bx-1) is exactly the bin whose
+        # t the kx=0 arm computed at the PREVIOUS bx step (grid iterates bx
+        # minor), so t is cached in a per-ky scratch across steps — halves
+        # the block-diagonal dot count. Consume the scratch BEFORE
+        # overwriting it with this step's kx=0 t.
         for ky in range(V4_N_Y):
             row = by - ky
             rok = jnp.logical_and(row >= 0, row < n_ybins)
-            for kx in range(V4_N_X):
-                col = bx - kx
-                cok = jnp.logical_and(col >= 0, col < n_xbins)
-                cc = jnp.clip(col, 0, n_xbins - 1)
-                rc = jnp.clip(row, 0, n_ybins - 1)
-                is_occ = occ_ref[rc * n_xbins + cc] > 0
+            rc = jnp.clip(row, 0, n_ybins - 1)
 
-                @pl.when(jnp.logical_and(jnp.logical_and(rok, cok), is_occ))
-                def _contrib(ky=ky, kx=kx, cc=cc):
-                    ayT = ay_refs[ky][0, cc]    # (K*RES_H, K*7)
-                    gb = g_refs[ky][0, cc]      # (K*7, 7*c)
-                    # stripe ky of the window: rows k*RES_H + ky*16 + h
-                    ay_s = ayT.reshape(k_sl, V4_RES_H, k_sl * out_size)[
-                        :, ky * V4_Y_STRIPE:(ky + 1) * V4_Y_STRIPE, :
-                    ].reshape(k_sl * V4_Y_STRIPE, k_sl * out_size)
-                    t = jnp.dot(ay_s, gb,
-                                preferred_element_type=f32).astype(dt)
-                    # rows (k, h), cols (x, c) -> rows (k, x), cols (h, c)
-                    t4 = t.reshape(k_sl, V4_Y_STRIPE, out_size, c)
-                    t4 = jnp.swapaxes(t4, 1, 2)  # (K, 7x, 16, C)
-                    s2 = t4.reshape(k_sl * out_size, V4_Y_STRIPE * c)
-                    # NOTE: the (bin, ky)-dependent t is NOT hoisted out of
-                    # the kx loop on purpose — the two kx arms see different
-                    # bins (col = bx - kx), so their t's differ.
-                    axc = ax_refs[ky][0, cc, kx]  # (96, K*7)
-                    acc_ref[...] += jnp.dot(
-                        axc, s2, preferred_element_type=f32
-                    ).reshape(V4_X_BLOCK, V4_Y_STRIPE, c)
+            # kx = 1: consume the previous step's t (bin col = bx-1)
+            col1 = bx - 1
+            c1ok = jnp.logical_and(col1 >= 0, col1 < n_xbins)
+            cc1 = jnp.clip(col1, 0, n_xbins - 1)
+            occ1 = occ_ref[rc * n_xbins + cc1] > 0
+
+            @pl.when(jnp.logical_and(jnp.logical_and(rok, c1ok), occ1))
+            def _consume(ky=ky, cc1=cc1):
+                s2 = t_scr[ky][...]
+                axc = ax_refs[ky][0, cc1, 1]  # (96, K*7)
+                acc_ref[...] += jnp.dot(
+                    axc, s2, preferred_element_type=f32
+                ).reshape(V4_X_BLOCK, V4_Y_STRIPE, c)
+
+            # kx = 0: compute this step's t, contribute, store to scratch
+            c0ok = jnp.logical_and(bx >= 0, bx < n_xbins)
+            cc0 = jnp.clip(bx, 0, n_xbins - 1)
+            occ0 = occ_ref[rc * n_xbins + cc0] > 0
+
+            @pl.when(jnp.logical_and(jnp.logical_and(rok, c0ok), occ0))
+            def _compute(ky=ky, cc0=cc0):
+                ayT = ay_refs[ky][0, cc0]    # (K*RES_H, K*7)
+                gb = g_refs[ky][0, cc0]      # (K*7, 7*c)
+                # stripe ky of the window: rows k*RES_H + ky*16 + h
+                ay_s = ayT.reshape(k_sl, V4_RES_H, k_sl * out_size)[
+                    :, ky * V4_Y_STRIPE:(ky + 1) * V4_Y_STRIPE, :
+                ].reshape(k_sl * V4_Y_STRIPE, k_sl * out_size)
+                t = jnp.dot(ay_s, gb,
+                            preferred_element_type=f32).astype(dt)
+                # rows (k, h), cols (x, c) -> rows (k, x), cols (h, c)
+                t4 = t.reshape(k_sl, V4_Y_STRIPE, out_size, c)
+                t4 = jnp.swapaxes(t4, 1, 2)  # (K, 7x, 16, C)
+                s2 = t4.reshape(k_sl * out_size, V4_Y_STRIPE * c)
+                t_scr[ky][...] = s2
+                axc = ax_refs[ky][0, cc0, 0]  # (96, K*7)
+                acc_ref[...] += jnp.dot(
+                    axc, s2, preferred_element_type=f32
+                ).reshape(V4_X_BLOCK, V4_Y_STRIPE, c)
 
         out_ref[0] = acc_ref[...].astype(out_ref.dtype)
 
@@ -2252,9 +2270,9 @@ def roi_align_pallas_v4_bwd(
             lambda by, bx, occ: (bx, 0, by, 0),
             memory_space=pltpu.VMEM,
         ),
-        scratch_shapes=[
-            pltpu.VMEM((V4_X_BLOCK, V4_Y_STRIPE, c), f32)
-        ],
+        scratch_shapes=[pltpu.VMEM((V4_X_BLOCK, V4_Y_STRIPE, c), f32)]
+        + [pltpu.VMEM((k_sl * out_size, V4_Y_STRIPE * c), dt)
+           for _ in range(V4_N_Y)],
     )
 
     d_pyr = pl.pallas_call(
