@@ -1,0 +1,222 @@
+#!/usr/bin/env python
+"""Production-scale reference-user drill (VERDICT r04 item 3).
+
+Composes the complete reference-user workflow at the REAL operating
+point — the closest available stand-in for real-checkpoint validation in
+an environment with no COCO data and no trained checkpoint:
+
+  1. synthesize a production-size mmdet-format `.pth` (R-50, 81-class)
+     from the torch reference mirror (`tests/torch_htd.py` — real mmdet
+     state-dict keys);
+  2. build a synthetic COCO val set (80 categories, realistic image
+     sizes) + annotations json;
+  3. run the actual CLI: `tools/test.py --checkpoint drill.pth
+     --coco-dump` at (1333, 800) with production defaults (exact-grid
+     eval RoIAlign);
+  4. feed the dump to `tools/coco_error_analysis.py`;
+  5. parity: run the torch mirror on the SAME preprocessed pixels for a
+     subset, build a pseudo-GT annotation from its confident detections,
+     and assert htd_tpu's mAP on that pseudo-GT matches the mirror's
+     (both ~1.0 by construction; any systematic forward divergence at
+     production scale drags htd's number down).
+
+Usage:
+  python tools/drill_production.py [--images 100] [--mirror-images 5]
+      [--out /tmp/htd_drill] [--seed 0]
+Exit code 0 = all assertions passed; prints a one-line JSON summary.
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def make_dataset(out_dir, n_images, rng):
+    """Synthetic COCO val: structured images (random rectangles over
+    noise) at realistic sizes, 80 categories, random GT boxes."""
+    import cv2
+
+    img_dir = os.path.join(out_dir, "images")
+    os.makedirs(img_dir, exist_ok=True)
+    images, anns = [], []
+    cats = [dict(id=i + 1, name=f"cat{i}") for i in range(80)]
+    for i in range(n_images):
+        if i % 3 == 0:
+            h, w = 480, 640
+        elif i % 3 == 1:
+            h, w = 640, 480
+        else:
+            h, w = 500, 375
+        img = rng.randint(0, 80, (h, w, 3)).astype(np.uint8)
+        for _ in range(rng.randint(3, 9)):
+            x, y = rng.randint(0, w - 40), rng.randint(0, h - 40)
+            bw, bh = rng.randint(20, w - x), rng.randint(20, h - y)
+            color = tuple(int(c) for c in rng.randint(60, 255, 3))
+            cv2.rectangle(img, (x, y), (x + min(bw, w - x - 1),
+                                        y + min(bh, h - y - 1)), color, -1)
+        name = f"img{i:04d}.png"
+        cv2.imwrite(os.path.join(img_dir, name), img)
+        images.append(dict(id=i + 1, file_name=name, height=h, width=w))
+        for _ in range(rng.randint(2, 6)):
+            x = float(rng.uniform(0, w * 0.7))
+            y = float(rng.uniform(0, h * 0.7))
+            bw = float(rng.uniform(16, w - x))
+            bh = float(rng.uniform(16, h - y))
+            anns.append(dict(
+                id=len(anns) + 1, image_id=i + 1,
+                category_id=int(rng.randint(1, 81)),
+                bbox=[x, y, bw, bh], area=bw * bh, iscrowd=0,
+            ))
+    ann_path = os.path.join(out_dir, "ann.json")
+    with open(ann_path, "w") as f:
+        json.dump(dict(images=images, annotations=anns, categories=cats), f)
+    return ann_path, img_dir, images
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--images", type=int, default=100)
+    p.add_argument("--mirror-images", type=int, default=5)
+    p.add_argument("--out", default="/tmp/htd_drill")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--scale", default="1333x800")
+    p.add_argument("--map-tol", type=float, default=0.08,
+                   help="allowed |mirror - htd| mAP@0.5 delta on pseudo-GT")
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                   help="platform for the tools/test.py stage (cpu keeps "
+                        "the drill off a busy TPU tunnel)")
+    args = p.parse_args()
+    rng = np.random.RandomState(args.seed)
+    os.makedirs(args.out, exist_ok=True)
+    scale = tuple(int(v) for v in args.scale.split("x"))
+
+    import torch
+
+    from tests import torch_htd as TH
+
+    # 1. production-size checkpoint in the real mmdet format
+    print("[drill] building R-50 torch mirror + drill.pth", flush=True)
+    tm = TH.randomize(TH.TorchHTDDetector(depth=50), seed=args.seed)
+    pth = os.path.join(args.out, "drill.pth")
+    torch.save(
+        {"state_dict": tm.state_dict(),
+         "meta": {"mmdet_version": "2.7.0", "config": "htd_resnet50_1x"}},
+        pth,
+    )
+
+    # 2. dataset
+    print("[drill] building synthetic COCO val set", flush=True)
+    ann_path, img_dir, images = make_dataset(args.out, args.images, rng)
+
+    # 3. the real CLI at production defaults (exact eval grid by default;
+    # f32 + highest matmul precision so step 5's torch comparison holds)
+    dump = os.path.join(args.out, "coco_dump.json")
+    raw = os.path.join(args.out, "raw_dump.json")
+    env = dict(os.environ, JAX_DEFAULT_MATMUL_PRECISION="highest")
+    cmd = [
+        sys.executable, os.path.join(REPO, "tools", "test.py"),
+        "--config", "htd_r50_1x", "--checkpoint", pth,
+        "--ann", ann_path, "--img-root", img_dir,
+        "--scale", args.scale, "--batch-size", "4",
+        "--coco-dump", dump, "--dump", raw,
+    ]
+    if args.platform:
+        cmd += ["--platform", args.platform]
+    print("[drill] running tools/test.py:", " ".join(cmd), flush=True)
+    r = subprocess.run(cmd, env=env, capture_output=True, text=True)
+    sys.stderr.write(r.stderr[-2000:])
+    assert r.returncode == 0, f"tools/test.py failed rc={r.returncode}"
+    metrics = json.loads(r.stdout.strip().splitlines()[-1])
+    assert os.path.getsize(dump) > 2, "empty coco dump"
+
+    # 4. error analysis consumes the dump
+    out_dir = os.path.join(args.out, "err")
+    cmd = [
+        sys.executable, os.path.join(REPO, "tools", "coco_error_analysis.py"),
+        dump, out_dir, "--ann", ann_path, "--max-cats", "3",
+    ]
+    print("[drill] running coco_error_analysis.py", flush=True)
+    r = subprocess.run(cmd, capture_output=True, text=True)
+    sys.stderr.write(r.stderr[-1000:])
+    assert r.returncode == 0, "coco_error_analysis failed"
+    pngs = [f for f in os.listdir(out_dir) if f.endswith(".png")]
+    assert pngs, "error analysis produced no plots"
+
+    # 5. torch-mirror parity on a subset, at the SAME preprocessed pixels
+    print("[drill] torch-mirror parity subset", flush=True)
+    import cv2
+
+    from htd_tpu.data.coco_eval import evaluate_coco_map
+    from htd_tpu.data.pipeline import bucket_shape, preprocess
+
+    with open(raw) as f:
+        htd_raw = json.load(f)
+
+    mirror_dets = {}
+    htd_dets = {}
+    for im in images[: args.mirror_images]:
+        img = cv2.imread(os.path.join(img_dir, im["file_name"]))
+        landscape = img.shape[1] >= img.shape[0]
+        pre = preprocess(img, scale=scale,
+                         bucket=bucket_shape(scale, landscape))
+        timg = torch.from_numpy(
+            pre.image[None].transpose(0, 3, 1, 2).copy())
+        with torch.no_grad():
+            (dets, labels), _ = tm.simple_test(
+                timg, tuple(float(v) for v in pre.img_shape),
+                pre.scale_factor,
+            )
+        d = dets.numpy()
+        mirror_dets[im["id"]] = (
+            d[:, :4].astype(np.float64), d[:, 4].astype(np.float64),
+            labels.numpy(),
+        )
+        hb = htd_raw[str(im["id"])]
+        htd_dets[im["id"]] = (
+            np.asarray(hb["boxes"], np.float64),
+            np.asarray(hb["scores"], np.float64),
+            np.asarray(hb["labels"], np.int64),
+        )
+
+    # pseudo-GT = the mirror's confident detections
+    gt = {}
+    for iid, (b, s, l) in mirror_dets.items():
+        keep = s >= 0.3
+        gt[iid] = (
+            b[keep].astype(np.float32), l[keep].astype(np.int64),
+            np.zeros(int(keep.sum()), bool),
+        )
+    n_gt = sum(len(v[0]) for v in gt.values())
+    assert n_gt >= 5, f"pseudo-GT too small ({n_gt}) — raise mirror images"
+    m_mirror = evaluate_coco_map(mirror_dets, gt, num_classes=80)
+    m_htd = evaluate_coco_map(htd_dets, gt, num_classes=80)
+    delta = abs(m_mirror["mAP_50"] - m_htd["mAP_50"])
+    summary = dict(
+        full_set_metrics=metrics,
+        n_images=args.images,
+        pseudo_gt=n_gt,
+        mirror_mAP50=round(m_mirror["mAP_50"], 4),
+        htd_mAP50=round(m_htd["mAP_50"], 4),
+        delta=round(delta, 4),
+        error_analysis_plots=len(pngs),
+    )
+    print(json.dumps(summary), flush=True)
+    assert m_mirror["mAP_50"] > 0.5, (
+        f"mirror self-mAP sanity failed: {m_mirror['mAP_50']}"
+    )
+    assert delta <= args.map_tol, (
+        f"mAP@0.5 delta {delta:.4f} > tol {args.map_tol}"
+    )
+    print("[drill] PASS", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -59,6 +59,12 @@ def main():
              "(reference 'proposal_fast' metric / RPN detector eval)",
     )
     p.add_argument(
+        "--platform", default=None, choices=["cpu", "tpu"],
+        help="force the jax platform via the config API (this machine "
+             "pins JAX_PLATFORMS which the env var cannot override; "
+             "'cpu' avoids dispatching over a remote-TPU tunnel)",
+    )
+    p.add_argument(
         "--fast", action="store_true",
         help="keep the serving RoIAlign preset (max_samples=4, ~24%% "
              "faster). By default this ACCURACY tool runs the exact mmcv "
@@ -67,6 +73,16 @@ def main():
              "fidelity A/B), irrelevant for serving but not for an eval",
     )
     args = p.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update(
+            "jax_platforms",
+            "cpu" if args.platform == "cpu" else "tpu,axon",
+        )
+        if args.platform == "cpu":
+            jax.config.update("jax_default_matmul_precision", "highest")
 
     from htd_tpu import config as C
     from htd_tpu.apis import evaluate_dataset, init_detector
