@@ -2033,7 +2033,13 @@ def roi_align_pallas_v4_bwd(
     c = feats[0].shape[-1]
     dt = feats[0].dtype
     if slots is None:
-        slots = int(os.environ.get("HTD_RA_BWD_SLOTS", "8"))
+        # 16 by default: training rois crowd (positives cluster around
+        # GTs) — the clustered stress test overflows 326/1024 at K=8 but
+        # 138 at K=16, inside the fallback cap; the on-chip ladder
+        # (2026-08-21, R-50 train b2) measured K=8 with the (since
+        # removed) tiered fallback taking its full-fold branch every
+        # step (183 ms/iter, worse than fold's 170)
+        slots = int(os.environ.get("HTD_RA_BWD_SLOTS", "16"))
     k_sl = slots
 
     # pyramid GEOMETRY only (no data build — the backward never reads
@@ -2295,25 +2301,24 @@ def roi_align_fused_batched_grad_feats(
     out_size=7, sampling_ratio=0, max_samples=4, interpret=False,
 ):
     """d(loss)/d(feats) via the Pallas window-accumulation kernel +
-    tiered folded-scatter fallback for overflow rois (HTD_RA_BWD=pallas).
+    UNCONDITIONAL capped folded-scatter fallback for overflow rois
+    (HTD_RA_BWD=pallas).
 
-    Exactness contract: EXACT everywhere. Kernel-covered rois get the
-    exact gather-formulation gradient (same tent matrices as the
-    forward); overflow rois (bin capacity / window coverage) go through
-    the exact corner-folded scatter, tiered on the RUNTIME overflow
-    count with lax.cond (the forward's fb_cond pattern):
-      0 overflow          -> skip the scatter entirely (common case);
-      <= HTD_RA_BWD_FB*B  -> small fixed-cap subset scatter (64/img);
-      else                -> full folded scatter with g masked to the
-                             overflow rois — same cost as the pre-kernel
-                             fold backward, so the worst (pathological
-                             crowding) case is never SLOWER than round 4,
-                             and no roi ever loses its gradient.
+    Exactness contract: kernel-covered rois get the exact gather
+    -formulation gradient (same tent matrices as the forward); overflow
+    rois (bin capacity / window coverage) go through the exact
+    corner-folded scatter up to HTD_RA_BWD_FB(=128) * B rois. Beyond-cap
+    rois (pathological crowding far past anything measured: the worst
+    clustered stress test overflows 138/1024 at the default 16 slots)
+    lose their feature gradient — the same capped-fallback philosophy as
+    the forward kernel. A lax.cond-tiered fallback (skip/small/full) was
+    built first and REJECTED by measurement: the cond machinery cost
+    ~18 ms/extraction on the real train step (2026-08-21 ladder — K=24
+    tiered 146.2 ms/iter vs kernel-only 90.3; the unconditional subset
+    is ~5 ms), the same serialization lesson as the forward's fb_cond
+    full-cap branch.
     """
-    from htd_tpu.ops.roi_align import (
-        roi_align_pyramid_batched_grad_feats,
-        roi_align_pyramid_flat_grad_feats,
-    )
+    from htd_tpu.ops.roi_align import roi_align_pyramid_flat_grad_feats
 
     b, r = rois.shape[0], rois.shape[1]
     c = feats[0].shape[-1]
@@ -2331,48 +2336,21 @@ def roi_align_fused_batched_grad_feats(
         off = geom["offsets"][lvl]
         dfeats.append(d3[:, off:off + hl, :wl, :].astype(f.dtype))
 
-    cap_small = min(int(os.environ.get("HTD_RA_BWD_FB", "64")) * b, b * r)
-    if cap_small <= 0:
+    cap = min(int(os.environ.get("HTD_RA_BWD_FB", "128")) * b, b * r)
+    if cap <= 0:
         return dfeats
     flat_rois = rois.reshape(b * r, 4)
     flat_lvls = target_lvls.reshape(b * r)
     img_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), r)
     g_flat = g.reshape(b * r, out_size, out_size, c)
-    ovf_f = overflow.astype(jnp.float32)
-    n_ovf = jnp.sum(overflow.astype(jnp.int32))
-
-    def zero_fb(_):
-        return [jnp.zeros_like(a) for a in dfeats]
-
-    def small_fb(_):
-        top, idx = jax.lax.top_k(ovf_f, cap_small)
-        g_sub = jnp.where(top[:, None, None, None] > 0.0,
-                          g_flat[idx], 0.0).astype(g_flat.dtype)
-        return roi_align_pyramid_flat_grad_feats(
-            feats, flat_rois[idx], strides, flat_lvls[idx], img_idx[idx],
-            g_sub, out_size=out_size, sampling_ratio=sampling_ratio,
-            max_samples=max_samples,
-        )
-
-    def full_fb(_):
-        g_mask = jnp.where(
-            overflow.reshape(b, r)[:, :, None, None, None], g, 0.0
-        ).astype(g.dtype)
-        return roi_align_pyramid_batched_grad_feats(
-            feats, rois, strides, target_lvls, g_mask,
-            out_size=out_size, sampling_ratio=sampling_ratio,
-            max_samples=max_samples,
-        )
-
-    if cap_small >= b * r:
-        d_fb = jax.lax.cond(n_ovf == 0, zero_fb, full_fb, 0)
-    else:
-        d_fb = jax.lax.cond(
-            n_ovf == 0, zero_fb,
-            lambda o: jax.lax.cond(
-                n_ovf <= cap_small, small_fb, full_fb, o),
-            0,
-        )
+    top, idx = jax.lax.top_k(overflow.astype(jnp.float32), cap)
+    g_sub = jnp.where(top[:, None, None, None] > 0.0,
+                      g_flat[idx], 0.0).astype(g_flat.dtype)
+    d_fb = roi_align_pyramid_flat_grad_feats(
+        feats, flat_rois[idx], strides, flat_lvls[idx], img_idx[idx],
+        g_sub, out_size=out_size, sampling_ratio=sampling_ratio,
+        max_samples=max_samples,
+    )
     return [a + fb.astype(a.dtype) for a, fb in zip(dfeats, d_fb)]
 
 
