@@ -91,8 +91,15 @@ def _apply_gates(results: dict) -> None:
             os.environ["HTD_V4_PACKED"] = "0"
 
 
-def probe_and_gate(verbose: bool = True, use_cache: bool = True) -> dict:
+def probe_and_gate(verbose: bool = True, use_cache: bool = True,
+                   train: bool = False) -> dict:
     """Compile-probe the Pallas kernels (or replay a committed verdict).
+
+    `train=True` additionally probes the TRAIN-path backward kernels
+    (RoIAlign window-accumulation backward, DCN select-MAC d_x) — their
+    failure gates HTD_RA_BWD / HTD_DCN_DX back to the fold scatters.
+    Inference tools skip these probes (bench.py must not spend driver
+    budget compiling kernels it never runs).
 
     Probe verdicts are persisted to probe_verdicts.json keyed by
     (backend, device kind, jax version) so repeat tool/benchmark runs on a
@@ -124,6 +131,11 @@ def probe_and_gate(verbose: bool = True, use_cache: bool = True) -> dict:
             want.add("dcn_windowed")
         if os.environ.get("HTD_V4_PACKED", "0") == "1":
             want.add("v4_packed")
+        if train:
+            if os.environ.get("HTD_RA_BWD", "") in ("", "pallas"):
+                want.add("ra_bwd")
+            if os.environ.get("HTD_DCN_DX", "") in ("", "pallas"):
+                want.add("dcn_dx")
         if hit is not None and want <= set(hit):
             _apply_gates(hit)
             if verbose:
@@ -133,14 +145,16 @@ def probe_and_gate(verbose: bool = True, use_cache: bool = True) -> dict:
 
     rng = np.random.RandomState(0)
 
-    def probe(name, kill_env, fn):
+    def probe(name, kill_env, fn, kill_value="1"):
         try:
             _force(fn())
             results[name] = "ok"
         except Exception as e:  # noqa: BLE001 — any compile/run failure
             if kill_env:
-                os.environ[kill_env] = "1"
-            results[name] = f"FAILED -> {kill_env}=1 ({type(e).__name__})"
+                os.environ[kill_env] = kill_value
+            results[name] = (
+                f"FAILED -> {kill_env}={kill_value} ({type(e).__name__})"
+            )
             if verbose:
                 print(f"[kernel_probe] {name}: {results[name]}: "
                       f"{str(e)[:200]}")
@@ -221,6 +235,51 @@ def probe_and_gate(verbose: bool = True, use_cache: bool = True) -> dict:
         if "v4_packed" in results and results["v4_packed"] != "ok":
             os.environ["HTD_V4_PACKED"] = "0"
 
+    if train and os.environ.get("HTD_RA_BWD", "") in ("", "pallas"):
+
+        def ra_bwd():
+            import htd_tpu.ops.roi_align_pallas as rap
+            from htd_tpu.ops.boxes import map_roi_levels
+
+            feats = [
+                jnp.asarray(rng.normal(0, 1, (1, 32 >> i, 48 >> i, 128))
+                            .astype(np.float32))
+                for i in range(4)
+            ]
+            rois = jnp.asarray(
+                np.array([[[4.0, 4.0, 60.0, 40.0],
+                           [40.0, 8.0, 100.0, 90.0]]], np.float32))
+            lvls = jax.vmap(lambda rr: map_roi_levels(rr, 4))(rois)
+            g = jnp.asarray(
+                rng.normal(0, 1, (1, 2, 7, 7, 128)).astype(np.float32))
+            return jax.jit(
+                lambda fs, r_, l_, g_: rap.roi_align_fused_batched_grad_feats(
+                    list(fs), r_, (4, 8, 16, 32), l_, g_
+                )[0]
+            )(tuple(feats), rois, lvls, g)
+
+        probe("ra_bwd", "HTD_RA_BWD", ra_bwd, kill_value="fold")
+
+    if train and os.environ.get("HTD_DCN_DX", "") in ("", "pallas"):
+
+        def dcn_dx():
+            from htd_tpu.ops.dcn import _dcn_dx_pallas
+
+            x = jnp.asarray(
+                rng.normal(0, 1, (1, 16, 20, 128)).astype(np.float32))
+            w = jnp.asarray(
+                rng.normal(0, 0.1, (3, 3, 128, 128)).astype(np.float32))
+            off = jnp.asarray(
+                rng.normal(0, 0.3, (1, 16, 20, 18)).astype(np.float32))
+            g = jnp.asarray(
+                rng.normal(0, 1, (1, 16, 20, 128)).astype(np.float32))
+            return jax.jit(
+                lambda a, b, c, d: _dcn_dx_pallas(
+                    a, b, c, d, 3, 3, 1, 1, -1, 1, 32)
+            )(x, off, w, g)
+
+        probe("dcn_dx", "HTD_DCN_DX", dcn_dx, kill_value="fold")
+
     if use_cache:
         try:
             try:
@@ -228,7 +287,9 @@ def probe_and_gate(verbose: bool = True, use_cache: bool = True) -> dict:
                     cache = json.load(f)
             except Exception:  # noqa: BLE001
                 cache = {}
-            cache[key] = results
+            # merge: an inference run (no train probes) must not erase a
+            # previous train run's ra_bwd/dcn_dx verdicts
+            cache[key] = {**cache.get(key, {}), **results}
             with open(_cache_path(), "w") as f:
                 json.dump(cache, f, indent=1, sort_keys=True)
         except Exception as e:  # noqa: BLE001 — cache write is best-effort

@@ -71,7 +71,7 @@ def main():
 
     from htd_tpu.utils.kernel_probe import probe_and_gate
 
-    probe_and_gate()
+    probe_and_gate(train=args.train)
     import jax.numpy as jnp
 
     from htd_tpu import config as C

@@ -63,6 +63,9 @@ def main():
 
     if args.multihost:
         jax.distributed.initialize()
+    from htd_tpu.utils.kernel_probe import probe_and_gate
+
+    probe_and_gate(train=True)
     import jax.numpy as jnp
 
     from htd_tpu import config as C
