@@ -589,6 +589,112 @@ def _dcn_dx_pallas(x, offsets, weight, g, kh, kw, dilation, pad, lo, hi,
     return (d_x + corr).astype(x.dtype)
 
 
+def _bilinear_gather_grad(feat_flat, h, w, ys, xs):
+    """(d/dys, d/dxs) of `_bilinear_gather`'s samples: the bilinear
+    weights have unit slope inside a floor cell (floor itself carries
+    zero gradient), per-corner bounds zero both value and derivative —
+    matches jax.vjp of the gather formulation exactly."""
+    f32 = jnp.float32
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    ly = (ys - y0).astype(f32)
+    lx = (xs - x0).astype(f32)
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+    inside = (ys > -1.0) & (ys < h) & (xs > -1.0) & (xs < w)
+    vdy = None
+    vdx = None
+    for cy in range(2):
+        for cx in range(2):
+            yi = y0i + cy
+            xi = x0i + cx
+            ok = ((yi >= 0) & (yi < h) & (xi >= 0) & (xi < w) & inside)
+            p = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
+            v = jnp.take(feat_flat, p.reshape(-1), axis=0, mode="clip")
+            v = v.reshape(p.shape + (feat_flat.shape[-1],)).astype(f32)
+            okf = ok.astype(f32)[..., None]
+            wy = jnp.where(cy, ly, 1 - ly)[..., None]
+            wx = jnp.where(cx, lx, 1 - lx)[..., None]
+            dy_t = ((1.0 if cy else -1.0) * wx) * v * okf
+            dx_t = (wy * (1.0 if cx else -1.0)) * v * okf
+            vdy = dy_t if vdy is None else vdy + dy_t
+            vdx = dx_t if vdx is None else vdx + dx_t
+    return vdy, vdx
+
+
+def _dcn_dow_pallas(x, offsets, weight, g, kh, kw, dilation, pad, lo, hi,
+                    cap, interpret=False):
+    """(d_off, d_w) via the select-MAC recompute kernel + exact capped
+    correction (stride 1, dg=1) — replaces the vjp-of-gather recompute
+    whose corner gathers were the flagship train step's remaining DCN
+    backward cost (round-4 profile: ~6 ms-class fusions per c3/c4 conv).
+
+    Same fidelity contract as the forward/d_x kernels: the kernel covers
+    in-window samples; out-of-window samples resolve exactly through a
+    capped correction, beyond-cap samples contribute zero.
+    """
+    from htd_tpu.ops.dcn_pallas import dcn_dow_pallas
+
+    n, h, w, cin = (int(s) for s in x.shape)
+    cout = int(weight.shape[-1])
+    k = kh * kw
+    f32 = jnp.float32
+    ho, wo = int(offsets.shape[1]), int(offsets.shape[2])
+    wT = jnp.transpose(
+        weight.reshape(k, cin, cout), (0, 2, 1)
+    ).reshape(k * cout, cin).astype(g.dtype)
+
+    # flag geometry (XLA, elementwise — shared with the d_x correction)
+    ys, xs = _dcn_sample_coords(x, offsets, kh, kw, 1, dilation, pad)
+    inside = (ys > -1.0) & (ys < h) & (xs > -1.0) & (xs < w)
+    oy = jnp.arange(ho, dtype=f32) - pad
+    ox = jnp.arange(wo, dtype=f32) - pad
+    kyv = np.repeat(np.arange(kh, dtype=np.float32) * dilation, kw)
+    kxv = np.tile(np.arange(kw, dtype=np.float32) * dilation, kh)
+    base_y = oy[None, :, None, None] + jnp.asarray(kyv)[None, None, None, :]
+    base_x = ox[None, None, :, None] + jnp.asarray(kxv)[None, None, None, :]
+    dy = jnp.floor(ys) - base_y
+    dxd = jnp.floor(xs) - base_x
+    in_win = ((dy >= lo) & (dy <= hi) & (dxd >= lo) & (dxd <= hi))
+    need = inside & ~in_win                      # (N, Ho, Wo, K)
+    flag = jnp.any(need, axis=-1).astype(f32)
+    cap = max(1, min(cap, ho * wo))
+    wT3 = jnp.transpose(weight.reshape(k, cin, cout), (0, 2, 1))  # k,co,ci
+
+    d_offs = []
+    d_w = jnp.zeros((k * cin, cout), f32)
+    for img in range(n):
+        do_i, dw_i = dcn_dow_pallas(
+            x[img], offsets[img].astype(f32), g[img], wT,
+            kh, kw, pad, dilation, lo, hi, interpret=interpret,
+        )
+        # exact correction at flagged pixels
+        _, idx = jax.lax.top_k(flag[img].reshape(-1), cap)
+        sel = jnp.take(flag[img].reshape(-1), idx) > 0.0
+        ysel = jnp.take(ys[img].reshape(-1, k), idx, axis=0)
+        xsel = jnp.take(xs[img].reshape(-1, k), idx, axis=0)
+        nsel = (jnp.take(need[img].reshape(-1, k), idx, axis=0)
+                & sel[:, None])
+        gsel = jnp.take(
+            g[img].reshape(-1, cout), idx, axis=0).astype(f32)
+        dsel = jnp.einsum("pc,kcd->pkd", gsel, wT3.astype(f32))
+        xflat = x[img].reshape(h * w, cin)
+        fb = _bilinear_gather(xflat, h, w, ysel, xsel).astype(f32)
+        vdy, vdx = _bilinear_gather_grad(xflat, h, w, ysel, xsel)
+        nmask = nsel.astype(f32)[..., None]
+        do_y = jnp.sum(dsel * vdy * nmask, axis=-1)   # (cap, K)
+        do_x = jnp.sum(dsel * vdx * nmask, axis=-1)
+        corr = jnp.stack([do_y, do_x], axis=-1).reshape(cap, 2 * k)
+        do_i = do_i.reshape(ho * wo, 2 * k).at[idx].add(corr)
+        d_offs.append(do_i.reshape(ho, wo, 2 * k))
+        dw_corr = jnp.einsum("pkc,pd->kcd", fb * nmask, gsel)
+        d_w = d_w + dw_i + dw_corr.reshape(k * cin, cout)
+
+    d_off = jnp.stack(d_offs).astype(offsets.dtype)
+    d_w_out = d_w.reshape(kh, kw, cin, cout).astype(weight.dtype)
+    return d_off, d_w_out
+
+
 @functools.lru_cache(maxsize=None)
 def _pallas_dcn_fn(dilation: int, pad: int, m: int, cap: int,
                    lo: int | None = None, hi: int | None = None,
@@ -629,11 +735,23 @@ def _pallas_dcn_fn(dilation: int, pad: int, m: int, cap: int,
         if mode in ("fold", "window", "pallas"):
             x, offsets, weight = res
             kh, kw = int(weight.shape[0]), int(weight.shape[1])
-            _, vjp_ow = jax.vjp(
-                lambda o, wt: ref(x, o, wt), offsets, weight
-            )
-            d_off, d_w = vjp_ow(g)
             wlo, whi = (lo, hi) if lo is not None else (-m, m)
+            use_dow = (
+                mode == "pallas"
+                and os.environ.get("HTD_DCN_DOW", "pallas") != "vjp"
+            )
+            if use_dow:
+                # select-MAC recompute kernel for d_off/d_w — replaces
+                # the vjp-of-gather recompute (HTD_DCN_DOW=vjp reverts)
+                d_off, d_w = _dcn_dow_pallas(
+                    x, offsets, weight, g, kh, kw, dilation, pad,
+                    wlo, whi, cap,
+                )
+            else:
+                _, vjp_ow = jax.vjp(
+                    lambda o, wt: ref(x, o, wt), offsets, weight
+                )
+                d_off, d_w = vjp_ow(g)
             if mode == "pallas":
                 d_x = _dcn_dx_pallas(
                     x, offsets, weight, g, kh, kw, dilation, pad,

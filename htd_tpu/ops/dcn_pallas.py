@@ -380,6 +380,170 @@ def dcn_dx_pallas(
     return dx[:h, :w]
 
 
+def _dcn_dow_kernel(pad0_ref, pad1_ref, off_ref, g_ref, wT_ref,
+                    doff_ref, dw_ref,
+                    *, r, wo, c, cout, kh, kw, lo, hi, h, w, pad, dil,
+                    out_dtype):
+    """d_offsets (in-kernel reduced) + d_weight (cross-step accumulated)
+    for the stride-1 dg=1 windowed DCN — the select-MAC RECOMPUTE kernel.
+
+    Mirrors the forward kernel's stripes and shift weights; additionally
+    forms the bilinear COORDINATE derivatives (dwy = [dyc==a-1]-[dyc==a],
+    dwx analogously — ly/lx have unit slope inside a floor cell) so that
+
+        d_off_y[p, t] = sum_c d_col_t[p, c] * (sum_shifts dwy*wx*x_shift)
+        d_w[t]       += samp_t^T @ g        (MXU, accumulated over blocks)
+
+    with d_col_t = g @ W_t^T (one MXU dot per tap). Out-of-window samples
+    contribute zero here (live mask) and are resolved exactly by the
+    caller's capped correction, the same contract as the forward.
+    """
+    f32 = jnp.float32
+    win = hi - lo + 2
+    i = pl.program_id(0)
+    stripe = jnp.concatenate([pad0_ref[...], pad1_ref[...]], axis=0)
+    off = off_ref[...].astype(f32)      # (R, Wo, 2K)
+    g_blk = g_ref[...]                  # (R, Wo, Cout)
+    g2 = g_blk.reshape(r * wo, cout)
+
+    row0 = (i * r).astype(f32)
+    iy = jax.lax.broadcasted_iota(jnp.int32, (r, wo, 1), 0).astype(f32) + row0
+    ix = jax.lax.broadcasted_iota(jnp.int32, (r, wo, 1), 1).astype(f32)
+
+    @pl.when(i == 0)
+    def _init():
+        dw_ref[...] = jnp.zeros((kh * kw * c, cout), f32)
+
+    doffs = []
+    for kyi in range(kh):
+        for kxi in range(kw):
+            t = kyi * kw + kxi
+            d_col = jax.lax.dot_general(
+                g2, wT_ref[pl.ds(t * cout, cout), :],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            ).reshape(r, wo, c).astype(stripe.dtype)
+
+            by = iy - pad + kyi * dil
+            bx = ix - pad + kxi * dil
+            ys = by + off[:, :, 2 * t: 2 * t + 1]
+            xs = bx + off[:, :, 2 * t + 1: 2 * t + 2]
+            y0 = jnp.floor(ys)
+            x0 = jnp.floor(xs)
+            ly = ys - y0
+            lx = xs - x0
+            dyc = y0 - by
+            dxc = x0 - bx
+            inside = (ys > -1.0) & (ys < h) & (xs > -1.0) & (xs < w)
+            in_win = (
+                (dyc >= lo) & (dyc <= hi) & (dxc >= lo) & (dxc <= hi)
+            )
+            live = (inside & in_win).astype(f32)
+
+            samp = jnp.zeros((r, wo, c), stripe.dtype)
+            sdy = jnp.zeros((r, wo, c), stripe.dtype)
+            sdx = jnp.zeros((r, wo, c), stripe.dtype)
+            for ai in range(win):
+                a = ai + lo
+                is_a = (dyc == a).astype(f32)
+                is_am = (dyc == a - 1.0).astype(f32)
+                wy = (is_a * (1.0 - ly) + is_am * ly) * live
+                dwy = (is_am - is_a) * live
+                u = kyi * dil + a - lo
+                for bi in range(win):
+                    b = bi + lo
+                    is_b = (dxc == b).astype(f32)
+                    is_bm = (dxc == b - 1.0).astype(f32)
+                    wx = is_b * (1.0 - lx) + is_bm * lx
+                    dwx = is_bm - is_b
+                    v = kxi * dil + b - lo
+                    sl = jax.lax.slice(
+                        stripe, (u, v, 0), (u + r, v + wo, c))
+                    samp = samp + sl * (wy * wx).astype(stripe.dtype)
+                    sdy = sdy + sl * (dwy * wx).astype(stripe.dtype)
+                    sdx = sdx + sl * (wy * dwx).astype(stripe.dtype)
+
+            doffs.append(jnp.sum(
+                d_col.astype(f32) * sdy.astype(f32), axis=-1, keepdims=True))
+            doffs.append(jnp.sum(
+                d_col.astype(f32) * sdx.astype(f32), axis=-1, keepdims=True))
+            dw_ref[pl.ds(t * c, c), :] += jax.lax.dot_general(
+                samp.reshape(r * wo, c), g2,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
+    doff_ref[...] = jnp.concatenate(doffs, axis=-1).astype(out_dtype)
+
+
+def dcn_dow_pallas(
+    feat: Array,     # (H, W, C) one image
+    offsets: Array,  # (Ho, Wo, 2K) f32
+    g: Array,        # (Ho, Wo, Cout) cotangent
+    weightT: Array,  # (K*Cout, C) tap-major W^T rows
+    kh: int,
+    kw: int,
+    pad: int,
+    dilation: int,
+    lo: int,
+    hi: int,
+    interpret: bool = False,
+):
+    """Returns (d_off (Ho, Wo, 2K) f32, d_w (K*C, Cout) f32) for the
+    windowed stride-1 dg=1 DCN (out-of-window samples excluded; caller
+    corrects them exactly)."""
+    h, w, c = (int(s) for s in feat.shape)
+    ho, wo, _ = (int(s) for s in offsets.shape)
+    cout = int(g.shape[-1])
+    k = kh * kw
+    r = 8
+    n_blocks = -(-ho // r)
+    wop = -(-wo // 8) * 8
+    pb = pad - lo
+    umax = (kh - 1) * dilation + (hi + 1 - lo)
+    vmax = (kw - 1) * dilation + (hi + 1 - lo)
+    ell = (r - 1) + umax + 1
+    if ell > 2 * r:
+        raise ValueError(f"window ({lo},{hi}) too large for R={r} blocks")
+    rows_pad = (n_blocks + 1) * r
+    off_p = jnp.pad(
+        offsets, ((0, n_blocks * r - ho), (0, wop - wo), (0, 0)))
+    g_p = jnp.pad(g, ((0, n_blocks * r - ho), (0, wop - wo), (0, 0)))
+    pa_y = rows_pad - pb - h
+    pa_x = max(0, (wop - 1) + vmax + 1 - pb - w)
+    padmap = jnp.pad(feat, ((pb, pa_y), (pb, pa_x), (0, 0)))
+    wp = w + pb + pa_x
+
+    kernel = functools.partial(
+        _dcn_dow_kernel,
+        r=r, wo=wop, c=c, cout=cout, kh=kh, kw=kw, lo=lo, hi=hi,
+        h=float(h), w=float(w), pad=pad, dil=dilation,
+        out_dtype=jnp.float32,
+    )
+    d_off, d_w = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((r, wp, c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((r, wp, c), lambda i: (i + 1, 0, 0)),
+            pl.BlockSpec((r, wop, offsets.shape[-1]), lambda i: (i, 0, 0)),
+            pl.BlockSpec((r, wop, cout), lambda i: (i, 0, 0)),
+            pl.BlockSpec((weightT.shape[0], c), lambda i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((r, wop, 2 * k), lambda i: (i, 0, 0)),
+            pl.BlockSpec((k * c, cout), lambda i: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_blocks * r, wop, 2 * k), jnp.float32),
+            jax.ShapeDtypeStruct((k * c, cout), jnp.float32),
+        ],
+        compiler_params=None if (interpret or _INTERPRET)
+        else pltpu.CompilerParams(vmem_limit_bytes=80 * 1024 * 1024),
+        interpret=interpret or _INTERPRET,
+    )(padmap, padmap, off_p, g_p, weightT)
+    return d_off[:ho, :wo], d_w
+
+
 def dcn_conv_windowed(
     x: Array,        # (N, H, W, C)
     offsets: Array,  # (N, Ho, Wo, 2K) any float dtype

@@ -45,6 +45,37 @@ def test_dx_pallas_matches_fold(rng, off_scale, lo, hi, cap):
     assert np.abs(a - b).max() / s < 1e-5
 
 
+@pytest.mark.parametrize(
+    "off_scale,lo,hi,cap",
+    [
+        (0.3, -1, 1, 64),
+        (3.0, -1, 1, H * W),
+        (0.5, -1, 0, H * W),
+    ],
+)
+def test_dow_pallas_matches_vjp(rng, off_scale, lo, hi, cap, monkeypatch):
+    """Kernel B: select-MAC recompute (d_off, d_w) == vjp-of-gather."""
+    import htd_tpu.ops.dcn_pallas as DP
+
+    monkeypatch.setattr(DP, "_INTERPRET", True)
+    x, wt, g, _ = _inputs(rng, 0.0)
+    off = jnp.asarray(
+        rng.normal(0, off_scale, (N, H, W, 18)).astype(np.float32))
+
+    def ref(o, w_):
+        return D._dcn_xla_impl(x, o, w_, 1, 1, 1, "gather", 1, 64)
+
+    _, vjp = jax.vjp(ref, off, wt)
+    do_ref, dw_ref = vjp(g)
+    do_p, dw_p = D._dcn_dow_pallas(
+        x, off, wt, g, 3, 3, 1, 1, lo, hi, cap, interpret=True)
+    for a, b in [(do_p, do_ref), (dw_p, dw_ref)]:
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b, np.float64)
+        s = max(np.abs(b).max(), 1e-6)
+        assert np.abs(a - b).max() / s < 1e-5
+
+
 def test_dx_pallas_through_custom_vjp(rng, monkeypatch):
     """HTD_DCN_DX=pallas through deform_conv2d's vjp == fold gradients
     (d_off/d_w unchanged — both use the exact-gather vjp)."""
