@@ -136,6 +136,8 @@ def probe_and_gate(verbose: bool = True, use_cache: bool = True,
                 want.add("ra_bwd")
             if os.environ.get("HTD_DCN_DX", "") in ("", "pallas"):
                 want.add("dcn_dx")
+            if os.environ.get("HTD_DCN_DOW", "pallas") != "vjp":
+                want.add("dcn_dow")
         if hit is not None and want <= set(hit):
             _apply_gates(hit)
             if verbose:
@@ -279,6 +281,26 @@ def probe_and_gate(verbose: bool = True, use_cache: bool = True,
             )(x, off, w, g)
 
         probe("dcn_dx", "HTD_DCN_DX", dcn_dx, kill_value="fold")
+
+    if train and os.environ.get("HTD_DCN_DOW", "pallas") != "vjp":
+
+        def dcn_dow():
+            from htd_tpu.ops.dcn import _dcn_dow_pallas
+
+            x = jnp.asarray(
+                rng.normal(0, 1, (1, 16, 20, 128)).astype(np.float32))
+            w = jnp.asarray(
+                rng.normal(0, 0.1, (3, 3, 128, 128)).astype(np.float32))
+            off = jnp.asarray(
+                rng.normal(0, 0.3, (1, 16, 20, 18)).astype(np.float32))
+            g = jnp.asarray(
+                rng.normal(0, 1, (1, 16, 20, 128)).astype(np.float32))
+            return jax.jit(
+                lambda a, b, c, d: _dcn_dow_pallas(
+                    a, b, c, d, 3, 3, 1, 1, -1, 1, 32)[0]
+            )(x, off, w, g)
+
+        probe("dcn_dow", "HTD_DCN_DOW", dcn_dow, kill_value="vjp")
 
     if use_cache:
         try:
