@@ -31,5 +31,5 @@ def test_drill_small(tmp_path):
     assert r.returncode == 0, r.stdout[-1000:]
     summary = json.loads(
         [ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1])
-    assert summary["mirror_mAP50"] > 0.5
-    assert summary["delta"] <= 0.08
+    assert summary["match_frac"] >= 0.9
+    assert summary["box_mad_px"] <= 2.0

@@ -186,7 +186,47 @@ def main():
             np.asarray(hb["labels"], np.int64),
         )
 
-    # pseudo-GT = the mirror's confident detections
+    # PRIMARY parity metric: direct greedy IoU matching of the two
+    # detection sets (random-init logits saturate softmax scores to 1.0
+    # at production resolution, so any rank-based metric like mAP over a
+    # pseudo-GT degenerates into arbitrary tie ordering — the 2026-08-21
+    # full-scale run measured top boxes IDENTICAL to 0.1 px while the
+    # pseudo-GT mAP delta read 0.34 from tie shuffling alone).
+    def iou_mat(a, b):
+        ax1, ay1, ax2, ay2 = a[:, 0, None], a[:, 1, None], a[:, 2, None], a[:, 3, None]
+        bx1, by1, bx2, by2 = b[None, :, 0], b[None, :, 1], b[None, :, 2], b[None, :, 3]
+        iw = np.maximum(np.minimum(ax2, bx2) - np.maximum(ax1, bx1), 0.0)
+        ih = np.maximum(np.minimum(ay2, by2) - np.maximum(ay1, by1), 0.0)
+        inter = iw * ih
+        area_a = (ax2 - ax1) * (ay2 - ay1)
+        area_b = (bx2 - bx1) * (by2 - by1)
+        return inter / np.maximum(area_a + area_b - inter, 1e-9)
+
+    n_match = n_tot = 0
+    box_mads, score_mads = [], []
+    for iid in mirror_dets:
+        mb, ms, ml = mirror_dets[iid]
+        hb2, hs2, hl2 = htd_dets[iid]
+        if not len(mb) or not len(hb2):
+            n_tot += max(len(mb), len(hb2))
+            continue
+        ious = iou_mat(mb, hb2) * (ml[:, None] == hl2[None, :])
+        used = np.zeros(len(hb2), bool)
+        for i in range(len(mb)):
+            j = int(np.argmax(np.where(used, -1.0, ious[i])))
+            n_tot += 1
+            if ious[i, j] >= 0.75 and not used[j]:
+                used[j] = True
+                n_match += 1
+                box_mads.append(float(np.abs(mb[i] - hb2[j]).mean()))
+                score_mads.append(float(abs(ms[i] - hs2[j])))
+        n_tot += int((~used).sum())
+    match_frac = n_match / max(n_tot, 1)
+    box_mad = float(np.mean(box_mads)) if box_mads else float("inf")
+    score_mad = float(np.mean(score_mads)) if score_mads else float("inf")
+
+    # secondary: pseudo-GT mAP (informative; only asserted when scores
+    # are not saturated, i.e. rank order is meaningful)
     gt = {}
     for iid, (b, s, l) in mirror_dets.items():
         keep = s >= 0.3
@@ -195,26 +235,33 @@ def main():
             np.zeros(int(keep.sum()), bool),
         )
     n_gt = sum(len(v[0]) for v in gt.values())
-    assert n_gt >= 5, f"pseudo-GT too small ({n_gt}) — raise mirror images"
+    all_scores = np.concatenate([v[1] for v in mirror_dets.values()])
+    saturated = float(np.mean(all_scores > 0.999)) > 0.5
     m_mirror = evaluate_coco_map(mirror_dets, gt, num_classes=80)
     m_htd = evaluate_coco_map(htd_dets, gt, num_classes=80)
     delta = abs(m_mirror["mAP_50"] - m_htd["mAP_50"])
     summary = dict(
         full_set_metrics=metrics,
         n_images=args.images,
+        match_frac=round(match_frac, 4),
+        matched=n_match,
+        box_mad_px=round(box_mad, 3),
+        score_mad=round(score_mad, 5),
         pseudo_gt=n_gt,
+        scores_saturated=saturated,
         mirror_mAP50=round(m_mirror["mAP_50"], 4),
         htd_mAP50=round(m_htd["mAP_50"], 4),
         delta=round(delta, 4),
         error_analysis_plots=len(pngs),
     )
     print(json.dumps(summary), flush=True)
-    assert m_mirror["mAP_50"] > 0.5, (
-        f"mirror self-mAP sanity failed: {m_mirror['mAP_50']}"
-    )
-    assert delta <= args.map_tol, (
-        f"mAP@0.5 delta {delta:.4f} > tol {args.map_tol}"
-    )
+    assert match_frac >= 0.9, f"detection match fraction {match_frac:.3f}"
+    assert box_mad <= 2.0, f"matched box MAD {box_mad:.2f} px"
+    assert score_mad <= 0.02, f"matched score MAD {score_mad:.4f}"
+    if not saturated:
+        assert delta <= args.map_tol, (
+            f"mAP@0.5 delta {delta:.4f} > tol {args.map_tol}"
+        )
     print("[drill] PASS", flush=True)
 
 
