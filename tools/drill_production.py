@@ -93,6 +93,11 @@ def main():
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                    help="platform for the tools/test.py stage (cpu keeps "
                         "the drill off a busy TPU tunnel)")
+    p.add_argument("--cls-std", type=float, default=0.03,
+                   help="classifier init std for the synthetic checkpoint: "
+                        "small enough that softmax scores do NOT saturate "
+                        "at production resolution (saturated ties make "
+                        "top-k set selection arbitrary on both sides)")
     args = p.parse_args()
     rng = np.random.RandomState(args.seed)
     os.makedirs(args.out, exist_ok=True)
@@ -104,7 +109,8 @@ def main():
 
     # 1. production-size checkpoint in the real mmdet format
     print("[drill] building R-50 torch mirror + drill.pth", flush=True)
-    tm = TH.randomize(TH.TorchHTDDetector(depth=50), seed=args.seed)
+    tm = TH.randomize(TH.TorchHTDDetector(depth=50), seed=args.seed,
+                      cls_std=args.cls_std)
     pth = os.path.join(args.out, "drill.pth")
     torch.save(
         {"state_dict": tm.state_dict(),
@@ -255,10 +261,20 @@ def main():
         error_analysis_plots=len(pngs),
     )
     print(json.dumps(summary), flush=True)
-    assert match_frac >= 0.9, f"detection match fraction {match_frac:.3f}"
     assert box_mad <= 2.0, f"matched box MAD {box_mad:.2f} px"
     assert score_mad <= 0.02, f"matched score MAD {score_mad:.4f}"
-    if not saturated:
+    if saturated:
+        # every candidate ties at score 1.0: which 100 survive top-k is
+        # arbitrary on BOTH sides, so set-level metrics are undefined —
+        # only matched-pair closeness is meaningful. Use --cls-std to
+        # de-saturate; asserting set metrics here would test tie order.
+        print("[drill] WARNING: scores saturated — set-level parity not "
+              "assertable at this cls-std", flush=True)
+        assert n_match >= 10, f"too few matched pairs ({n_match})"
+    else:
+        assert match_frac >= 0.9, (
+            f"detection match fraction {match_frac:.3f}"
+        )
         assert delta <= args.map_tol, (
             f"mAP@0.5 delta {delta:.4f} > tol {args.map_tol}"
         )
